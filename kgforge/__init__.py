@@ -1,0 +1,29 @@
+"""kgforge: PySpark-native knowledge-graph construction engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of
+soundprediction/go-light-rag (reference, read-only at
+/root/reference): token-aware chunking, entity/relation extraction as
+vectorized pandas/Arrow UDFs emitting (subj, pred, obj) triples,
+canonicalization + cross-chunk dedup via normalized-key hash
+aggregation and description-merge reduces, and graph materialization
+into node/edge tables — resumable from per-partition checkpoints,
+designed for 10^12-file corpora.
+"""
+
+__all__ = [
+    "canonicalize",
+    "checkpoint",
+    "chunking",
+    "embedding",
+    "extraction",
+    "gochunk",
+    "merge",
+    "pipeline",
+    "query",
+    "schemas",
+    "session",
+    "similarity",
+    "store",
+    "textops",
+    "tokenizer",
+]

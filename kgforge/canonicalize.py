@@ -1,0 +1,130 @@
+"""Canonicalization + per-chunk grouping (P5/P6/E3, SURVEY.md §2.2/2.4).
+
+Reference: ``dedupeLLMResult`` (/root/reference/insert.go:454-497):
+uppercase entity names and types, enforce the entity-type whitelist
+(invalid -> "UNKNOWN", whitelist is case-insensitive and implicitly
+contains UNKNOWN), group entities by name and relationships by the
+(source, target) pair.
+
+Spark shape: pure column expressions (whole-stage codegen); the
+whitelist is a small literal IN-list (Catalyst folds it — cheaper than
+a broadcast join).  Grouping happens in the downstream merge
+aggregations; here we only normalize keys.  We keep src/dst as
+separate columns, which removes the reference's "SRC-TGT" composite
+key-split bug for names containing '-' (insert.go:489, 583-585).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Whitelists from the reference handlers (handler/prompt.go:12, 284).
+DEFAULT_ENTITY_TYPES: List[str] = [
+    "organization", "person", "geo", "event", "category",
+]
+GO_ENTITY_TYPES: List[str] = [
+    "package", "function", "method", "struct", "interface", "const",
+    "variable", "import",
+]
+# Whitelist for the SQL-expressible heuristic extractor.
+HEURISTIC_ENTITY_TYPES: List[str] = ["function", "type", "variable"]
+
+
+def canonical_type_col(type_col, entity_types: Sequence[str]):
+    """P6: UPPER(type) if in whitelist (case-insensitive, UNKNOWN
+    implicit) else 'UNKNOWN' (insert.go:463-476)."""
+    allowed = [t.upper() for t in entity_types] + ["UNKNOWN"]
+    upper = F.upper(F.coalesce(type_col, F.lit("")))
+    return F.when(upper.isin(allowed), upper).otherwise(F.lit("UNKNOWN"))
+
+
+def explode_mentions(
+    extracted: DataFrame, entity_types: Sequence[str]
+) -> Tuple[DataFrame, DataFrame]:
+    """Explode per-chunk extraction structs into canonicalized mention
+    rows.
+
+    Input: chunks with an ``extraction`` struct column plus lineage
+    columns (chunk_id, doc_id, repo, lang, order_index, content_sha).
+
+    Returns (entity_mentions, relationship_mentions).  ``mention_ord``
+    preserves within-chunk appearance order and ``order_key`` gives a
+    deterministic global order (doc, chunk order, mention position) —
+    the batch analog of the reference's append order, made
+    deterministic (SURVEY.md §7 nondeterminism fix).
+    """
+    lineage = ["chunk_id", "doc_id", "repo", "lang", "content_sha"]
+
+    def order_key():
+        return F.concat_ws(
+            "|",
+            F.col("doc_id"),
+            F.lpad(F.col("order_index").cast("string"), 9, "0"),
+            F.lpad(F.col("mention_ord").cast("string"), 6, "0"),
+        )
+
+    ents = (
+        extracted.select(
+            *lineage,
+            "order_index",
+            F.posexplode_outer("extraction.entities").alias(
+                "mention_ord", "m"
+            ),
+        )
+        .filter(F.col("m").isNotNull() & (F.col("m.entity_name") != ""))
+        .select(
+            *lineage,
+            "order_index",
+            "mention_ord",
+            F.upper(F.col("m.entity_name")).alias("entity_name"),
+            canonical_type_col(
+                F.col("m.entity_type"), entity_types
+            ).alias("entity_type"),
+            F.coalesce(F.col("m.entity_description"), F.lit("")).alias(
+                "description"
+            ),
+        )
+        .withColumn("order_key", order_key())
+    )
+
+    rels = (
+        extracted.select(
+            *lineage,
+            "order_index",
+            F.posexplode_outer("extraction.relationships").alias(
+                "mention_ord", "m"
+            ),
+        )
+        .filter(
+            F.col("m").isNotNull()
+            & (F.col("m.source_entity") != "")
+            & (F.col("m.target_entity") != "")
+        )
+        .select(
+            *lineage,
+            "order_index",
+            "mention_ord",
+            F.upper(F.col("m.source_entity")).alias("src_raw"),
+            F.upper(F.col("m.target_entity")).alias("dst_raw"),
+            F.coalesce(
+                F.col("m.relationship_description"), F.lit("")
+            ).alias("description"),
+            F.coalesce(
+                F.col("m.relationship_keywords"),
+                F.array().cast("array<string>"),
+            ).alias("keywords"),
+            F.coalesce(
+                F.col("m.relationship_strength"), F.lit(1.0)
+            ).alias("weight"),
+        )
+        # Undirected canonical pair (least, greatest) replaces the
+        # reference's per-direction double write (kuzu.go:226-235).
+        .withColumn("src", F.least("src_raw", "dst_raw"))
+        .withColumn("dst", F.greatest("src_raw", "dst_raw"))
+        .drop("src_raw", "dst_raw")
+        .withColumn("order_key", order_key())
+    )
+    return ents, rels

@@ -1,0 +1,101 @@
+"""Checkpoint / lineage / resume (S2 + S5, SURVEY.md §2.1, §3.3).
+
+The reference decouples chunking from extraction with an
+"unprocessed" work queue (KVUpsertUnprocessed / KVUnprocessedKeys,
+rag.go:86-96, storage/bolt.go:83-143) and gates re-insertion of
+unchanged files on a content hash (tests/rag_test.go:585-624,
+examples/default/main.go:202-248).
+
+Batch-engine shape (north rule: "resumable from per-partition
+checkpoints carrying lineage and extraction metrics"): one checkpoint
+table keyed by doc_id carrying
+
+  partition_id (repo/lang — the physical partition), content_sha
+  (the per-row sha256 ingest invariant), status pending|done, and
+  per-doc metrics (n_chunks / n_entities / n_relationships).
+
+- the SHA GATE is a left-anti join of the incoming corpus against
+  ``status='done'`` rows matching on (doc_id, content_sha): unchanged
+  files are skipped, changed files re-enter (hash mismatch -> no
+  match -> processed again);
+- RESUME is the same anti-join — docs already done don't re-extract;
+  because all downstream writes are keyed MERGEs, re-running a
+  partially-failed job is idempotent.
+
+At 100 TB the checkpoint table is ~10^12 tiny rows: partitioned by
+partition_id, and the anti-join shuffles on doc_id — both sides hash-
+partition, AQE coalesces; no broadcast (checkpoint is large), no skew
+(doc_id is unique).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_id_col() -> F.Column:
+    return F.concat_ws("/", F.col("repo"), F.col("lang"))
+
+
+def sha_gate(
+    repos_with_ids: DataFrame, checkpoint: Optional[DataFrame]
+) -> DataFrame:
+    """S2 changed-file gate: drop rows whose (doc_id, content_sha)
+    already completed.  Input must carry doc_id + content_sha."""
+    if checkpoint is None:
+        return repos_with_ids
+    done = checkpoint.filter(F.col("status") == "done").select(
+        "doc_id", "content_sha"
+    )
+    return repos_with_ids.join(done, ["doc_id", "content_sha"], "left_anti")
+
+
+def build_checkpoint_rows(
+    docs: DataFrame,
+    chunk_counts: DataFrame,
+    entity_counts: DataFrame,
+    relationship_counts: DataFrame,
+    status: str = "done",
+    now: Optional[dt.datetime] = None,
+) -> DataFrame:
+    """Lineage + metrics rows, one per processed doc.
+
+    docs: doc_id, repo, lang, content_sha.
+    *_counts: (doc_id, n) aggregates from the run.
+    """
+    now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    return (
+        docs.select("doc_id", "repo", "lang", "content_sha")
+        .withColumn("partition_id", partition_id_col())
+        .join(chunk_counts.withColumnRenamed("n", "n_chunks"), "doc_id", "left")
+        .join(
+            entity_counts.withColumnRenamed("n", "n_entities"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            relationship_counts.withColumnRenamed("n", "n_relationships"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "partition_id",
+            "repo",
+            "lang",
+            "doc_id",
+            "content_sha",
+            F.lit(status).alias("status"),
+            F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
+            F.coalesce("n_entities", F.lit(0))
+            .cast("int")
+            .alias("n_entities"),
+            F.coalesce("n_relationships", F.lit(0))
+            .cast("int")
+            .alias("n_relationships"),
+            F.lit(now).alias("updated_at"),
+        )
+    )

@@ -1,0 +1,169 @@
+"""Chunking operators C1 (default sliding token window) and C2 (Go).
+
+Spark shape: chunkers are *pure functions* ``content -> list[chunk]``
+wrapped in one vectorized pandas UDF returning
+``array<struct<content,token_size,order_index>>`` and then
+``posexplode``d — the UDTF pattern from SURVEY.md §2.3.  The UDF is
+Arrow-batched (one Python call per batch, no per-row Python dispatch
+from the JVM), and chunking is a narrow map stage: it preserves the
+input partitioning (repo, lang) and introduces no shuffle.
+
+Reference semantics:
+- C1: `/root/reference/handler/default.go:53-96` — encode, slide a
+  ``max_tokens`` window with ``max-overlap`` stride, decode, TrimSpace,
+  recount tokens of the trimmed text, sequential order_index.
+- C2: see :mod:`kgforge.gochunk`.
+- dispatch by lang: examples/multiple/main.go:418-425.
+- chunk id: ``"<docID>-chunk-<order>"`` (rag.go:264-266).
+- cleanContent: trim + strip NULs (rag.go:209-213).
+- rejects: invalid Go content errors in the reference
+  (go_test.go:20-29); in a batch engine we route those rows to a
+  rejects output instead of failing the job.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kgforge import tokenizer
+from kgforge.gochunk import GoParseError, chunk_go
+from kgforge.schemas import CHUNK_ARRAY_TYPE
+
+DEFAULT_MAX_TOKENS = 1024  # default.go:41
+DEFAULT_OVERLAP_TOKENS = 128  # default.go:42
+
+
+def clean_content(col: Column) -> Column:
+    """cleanContent (rag.go:209-213): trim whitespace, strip NULs."""
+    return F.regexp_replace(F.trim(col), "\x00", "")
+
+
+def chunk_default(
+    content: str,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    overlap_tokens: int = DEFAULT_OVERLAP_TOKENS,
+) -> List[Tuple[str, int, int]]:
+    """C1: sliding token window (default.go:53-96). Pure function."""
+    if not content:
+        return []
+    tokens = tokenizer.encode(content)
+    stride = max_tokens - overlap_tokens
+    out: List[Tuple[str, int, int]] = []
+    index = 0
+    start = 0
+    while start < len(tokens):
+        window = tokens[start : start + max_tokens]
+        trimmed = tokenizer.decode(window).strip()
+        out.append((trimmed, tokenizer.count_tokens(trimmed), index))
+        index += 1
+        start += stride
+    return out
+
+
+def make_chunker_udf(
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    overlap_tokens: int = DEFAULT_OVERLAP_TOKENS,
+):
+    """Vectorized chunker: (lang, content) -> array<chunk struct>.
+
+    Dispatches per row on ``lang`` (S3, examples/multiple/main.go:
+    418-425): ``go`` -> C2 Go scanner, else C1 default window.  A Go
+    parse failure returns ``None`` so the caller can route the row to
+    a rejects table (the batch analog of the reference's error
+    return).
+    """
+
+    @pandas_udf(CHUNK_ARRAY_TYPE)
+    def chunker(lang: pd.Series, content: pd.Series) -> pd.Series:
+        results = []
+        for lg, text in zip(lang, content):
+            text = "" if text is None else text.strip().replace("\x00", "")
+            try:
+                if lg == "go":
+                    chunks = chunk_go(text)
+                else:
+                    chunks = chunk_default(text, max_tokens, overlap_tokens)
+                results.append(
+                    [
+                        {
+                            "content": c,
+                            "token_size": t,
+                            "order_index": o,
+                        }
+                        for (c, t, o) in chunks
+                    ]
+                )
+            except GoParseError:
+                results.append(None)
+        return pd.Series(results, dtype=object)
+
+    return chunker
+
+
+def doc_id_col() -> Column:
+    """doc_id = repo ':' path '@' commit (SURVEY.md §1.1)."""
+    return F.concat_ws(
+        "", F.col("repo"), F.lit(":"), F.col("path"), F.lit("@"),
+        F.col("commit"),
+    )
+
+
+def build_chunks(
+    repos: DataFrame,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    overlap_tokens: int = DEFAULT_OVERLAP_TOKENS,
+) -> Tuple[DataFrame, DataFrame]:
+    """repos -> (chunks, rejects).
+
+    chunks: one row per chunk with chunk_id = doc_id||'-chunk-'||order
+    (rag.go:264-266) and the per-row sha256(content) lineage invariant.
+    rejects: rows whose chunker errored (invalid Go).
+
+    Narrow stage: UDF + posexplode, no shuffle; partition pruning on
+    (repo, lang) still applies upstream because the UDF is applied
+    after the scan filters.
+    """
+    chunker = make_chunker_udf(max_tokens, overlap_tokens)
+    base = (
+        repos.withColumn("doc_id", doc_id_col())
+        .withColumn("content_clean", clean_content(F.col("content")))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn(
+            "chunk_arr", chunker(F.col("lang"), F.col("content_clean"))
+        )
+    )
+    rejects = base.filter(F.col("chunk_arr").isNull()).select(
+        "repo", "path", "commit", "lang", "doc_id", "content_sha"
+    )
+    chunks = (
+        base.filter(F.col("chunk_arr").isNotNull())
+        .select(
+            "repo",
+            "lang",
+            "doc_id",
+            "content_sha",
+            F.posexplode_outer("chunk_arr").alias("_pos", "chunk"),
+        )
+        .filter(F.col("chunk").isNotNull())
+        .select(
+            F.concat_ws(
+                "",
+                F.col("doc_id"),
+                F.lit("-chunk-"),
+                F.col("chunk.order_index").cast("string"),
+            ).alias("chunk_id"),
+            "doc_id",
+            "repo",
+            "lang",
+            F.col("chunk.order_index").alias("order_index"),
+            F.col("chunk.content").alias("content"),
+            F.col("chunk.token_size").alias("token_size"),
+            "content_sha",
+        )
+    )
+    return chunks, rejects

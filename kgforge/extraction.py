@@ -1,0 +1,232 @@
+"""Entity/relationship extraction as batched vectorized UDFs.
+
+The reference extracts with an LLM per chunk (`llmExtractEntities`,
+/root/reference/insert.go:298-452): render prompt -> chat -> strip
+markdown backticks + <think> tags -> JSON-repair -> parse
+``{"entities": [...], "relationships": [...]}`` -> glean loop ->
+retry/backoff.  Spark shape: ONE Arrow-batched pandas UDF
+(``Iterator[pd.Series] -> Iterator[pd.Series]``) over the chunk
+content column returning the llmResult JSON string, parsed JVM-side by
+``from_json`` into the typed EXTRACTION_SCHEMA — no per-row Python
+dispatch, no driver-side loop.
+
+Extractors are pluggable (the reference's ``LLM`` interface,
+rag.go:15-20):
+
+- :class:`FixtureExtractor` — mirrors the MockLLM of
+  insert_test.go:29-52: a fixed golden JSON for chunks carrying a
+  marker.  Used by the P/R golden tests.
+- :func:`heuristic_extract` — a deterministic, *SQL-expressible*
+  extractor (entities = distinct long words; relationships =
+  co-occurrence pairs).  Because it is expressible in ANSI SQL, the
+  whole pipeline (chunk -> extract -> canonicalize -> merge) can be
+  verified end-to-end against a DuckDB oracle.
+- a real LLM client plugs in the same way (per-executor session,
+  retry + backoff inside the UDF); not exercised in this sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Iterator, List
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from kgforge.schemas import EXTRACTION_SCHEMA
+
+# ---------------------------------------------------------------------------
+# LLM output cleanup (P2/P3/P4 in SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+_THINK_RE = re.compile(r"<think>.*?</think>", re.DOTALL)
+
+
+def remove_think_tags(text: str) -> str:
+    """RemoveThinkTags (llm/common.go:9-12)."""
+    return _THINK_RE.sub("", text)
+
+
+def remove_markdown_backticks(text: str) -> str:
+    """RemoveMarkdownBackticks (llm/common.go:14-27): drop ``` lines."""
+    return "\n".join(
+        line for line in text.split("\n")
+        if not line.lstrip().startswith("```")
+    )
+
+
+def repair_json(text: str) -> str:
+    """Minimal jsonrepair (insert.go:356): clip to outermost braces,
+    strip trailing commas.  Sufficient for mock/heuristic output; a
+    real LLM path would use a full repairer inside the UDF."""
+    start, end = text.find("{"), text.rfind("}")
+    if start >= 0 and end > start:
+        text = text[start : end + 1]
+    return re.sub(r",\s*([}\]])", r"\1", text)
+
+
+def parse_llm_result(raw: str) -> dict:
+    """Full cleanup + parse chain (insert.go:351-368)."""
+    cleaned = remove_markdown_backticks(remove_think_tags(raw))
+    try:
+        parsed = json.loads(repair_json(cleaned))
+    except (json.JSONDecodeError, ValueError):
+        return {"entities": [], "relationships": []}
+    if not isinstance(parsed, dict):
+        return {"entities": [], "relationships": []}
+    return {
+        "entities": parsed.get("entities") or [],
+        "relationships": parsed.get("relationships") or [],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic extractors
+# ---------------------------------------------------------------------------
+
+# Golden mock output, verbatim from insert_test.go:29-52.
+FIXTURE_RESULT = {
+    "entities": [
+        {
+            "entity_name": "Entity1",
+            "entity_type": "Person",
+            "entity_description": "This is a description of Entity1",
+        },
+        {
+            "entity_name": "Entity2",
+            "entity_type": "Organization",
+            "entity_description": "This is a description of Entity2",
+        },
+    ],
+    "relationships": [
+        {
+            "source_entity": "Entity1",
+            "target_entity": "Entity2",
+            "relationship_description": "Entity1 is related to Entity2",
+            "relationship_keywords": ["RELATED_TO", "RELATED", "TO"],
+            "relationship_strength": 1.0,
+        }
+    ],
+}
+
+FIXTURE_MARKER = "ENTITY-FIXTURE"
+
+
+class FixtureExtractor:
+    """MockLLM analog (rag_test.go:17-34 / insert_test.go:29-52):
+    returns the golden JSON for chunks containing the marker, an empty
+    result otherwise.  ``response_map`` lets tests key canned responses
+    on content substrings."""
+
+    def __init__(self, response_map: dict | None = None):
+        self.response_map = response_map or {}
+
+    def __call__(self, content: str) -> dict:
+        for needle, resp in self.response_map.items():
+            if needle in content:
+                return parse_llm_result(
+                    resp if isinstance(resp, str) else json.dumps(resp)
+                )
+        if FIXTURE_MARKER in content:
+            return dict(FIXTURE_RESULT)
+        return {"entities": [], "relationships": []}
+
+
+# Heuristic extractor parameters — keep in sync with HEURISTIC_*_SQL
+# in kgforge/oracles.py.
+HEURISTIC_MIN_WORD_LEN = 6
+HEURISTIC_MAX_PAIR_ENTITIES = 12
+_WORD_SPLIT_RE = re.compile(r"[^a-z]+")
+_HEURISTIC_TYPES = ["FUNCTION", "TYPE", "VARIABLE"]
+
+
+def heuristic_extract(content: str) -> dict:
+    """Deterministic SQL-expressible extractor.
+
+    entities: distinct lowercase-alpha words of length >=6 in the
+    chunk; name = UPPER(word); type = by length mod 3 over
+    FUNCTION/TYPE/VARIABLE; description = 'Entity ' || name.
+
+    relationships: unordered co-occurrence pairs (a < b) over the
+    lexicographically first HEURISTIC_MAX_PAIR_ENTITIES entities of
+    the chunk; strength 1.0 each; keywords = ['COOCCURS'].
+    """
+    if not content:
+        return {"entities": [], "relationships": []}
+    words = sorted(
+        {
+            w
+            for w in _WORD_SPLIT_RE.split(content.lower())
+            if len(w) >= HEURISTIC_MIN_WORD_LEN
+        }
+    )
+    entities = [
+        {
+            "entity_name": w.upper(),
+            "entity_type": _HEURISTIC_TYPES[len(w) % 3],
+            "entity_description": "Entity " + w.upper(),
+        }
+        for w in words
+    ]
+    pair_words = words[:HEURISTIC_MAX_PAIR_ENTITIES]
+    relationships = [
+        {
+            "source_entity": a.upper(),
+            "target_entity": b.upper(),
+            "relationship_description": (
+                "Entities " + a.upper() + " and " + b.upper() + " co-occur"
+            ),
+            "relationship_keywords": ["COOCCURS"],
+            "relationship_strength": 1.0,
+        }
+        for i, a in enumerate(pair_words)
+        for b in pair_words[i + 1 :]
+    ]
+    return {"entities": entities, "relationships": relationships}
+
+
+EXTRACTORS: dict[str, Callable[[], Callable[[str], dict]]] = {
+    "fixture": FixtureExtractor,
+    "heuristic": lambda: heuristic_extract,
+}
+
+
+def make_extraction_udf(extractor_name: str = "heuristic"):
+    """Arrow-batched extraction UDF: content -> llmResult JSON string.
+
+    Iterator form so the extractor (or a real LLM client / tokenizer)
+    is initialized once per partition, not per batch — the Spark
+    analog of the reference's per-goroutine LLM session with bounded
+    concurrency (insert.go:243-284; concurrency here = task slots).
+    """
+
+    factory = EXTRACTORS[extractor_name]
+
+    @pandas_udf(StringType())
+    def extract(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        extractor = factory()
+        for batch in batches:
+            yield batch.map(
+                lambda c: json.dumps(
+                    extractor(c if c is not None else ""),
+                    ensure_ascii=False,
+                )
+            )
+
+    return extract
+
+
+def extraction_col(
+    content: Column, extractor_name: str = "heuristic"
+) -> Column:
+    """content -> typed extraction struct (entities, relationships).
+
+    JSON parsing happens JVM-side via from_json so downstream explode /
+    aggregation stays in whole-stage codegen.
+    """
+    udf = make_extraction_udf(extractor_name)
+    return F.from_json(udf(content), EXTRACTION_SCHEMA)

@@ -1,0 +1,259 @@
+"""Go source-code chunker (pure Python, no go/ast).
+
+Re-implements the observable semantics of the reference's Go handler
+(`/root/reference/handler/go.go:44-166`), which the golden tests
+(`/root/reference/handler/go_test.go`) pin:
+
+- chunk 0 = "header": lines 1..(last import spec line + 1); if the
+  file has no imports this degenerates to line 1 (go.go:56-75);
+- one chunk per top-level func/method: ``"package X\n\n"`` prefix +
+  doc-comment text (ast.CommentGroup.Text() semantics: markers
+  stripped, trailing newline) + the decl's source lines (go.go:83-107);
+- one chunk per *spec* of a top-level ``type`` decl — a grouped
+  ``type ( ... )`` block is emitted once per spec, whole block each
+  time, with prefix + doc text (go.go:112-138);
+- one chunk per ``const``/``var`` decl (whole block), prefix but NO
+  doc comments (go.go:139-157);
+- other decls (imports, etc.) skipped; empty / non-Go content is an
+  error (go_test.go:20-29);
+- every chunk's token_size == count_tokens(content)
+  (go_test.go:98-104).
+
+This is a line-oriented scanner with a string/comment-aware bracket
+counter — not a full Go parser — which reproduces the reference
+behavior on gofmt-style source.  Pure function => safe in pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from kgforge.tokenizer import count_tokens
+
+_PACKAGE_RE = re.compile(r"^package\s+(\w+)\s*(?://.*|/\*.*)?$")
+_DECL_RE = re.compile(r"^(func|type|const|var|import)\b")
+_IMPORT_SPEC_RE = re.compile(r'(?:\w+\s+|\.\s*)?"[^"]*"')
+
+
+class GoParseError(ValueError):
+    """Raised for content the Go parser would reject (go_test.go:20-29)."""
+
+
+def _strip_line(
+    line: str, in_block_comment: bool, in_raw_string: bool
+) -> Tuple[str, bool, bool]:
+    """Remove comments and string-literal bodies from one line.
+
+    Returns (effective_text, in_block_comment, in_raw_string) where the
+    effective text keeps only characters relevant to bracket counting
+    and keyword detection.
+    """
+    out = []
+    i = 0
+    n = len(line)
+    while i < n:
+        c = line[i]
+        if in_block_comment:
+            if c == "*" and i + 1 < n and line[i + 1] == "/":
+                in_block_comment = False
+                i += 2
+                continue
+            i += 1
+            continue
+        if in_raw_string:
+            if c == "`":
+                in_raw_string = False
+            i += 1
+            continue
+        if c == "/" and i + 1 < n and line[i + 1] == "/":
+            break  # line comment: rest of line irrelevant
+        if c == "/" and i + 1 < n and line[i + 1] == "*":
+            in_block_comment = True
+            i += 2
+            continue
+        if c == "`":
+            in_raw_string = True
+            i += 1
+            continue
+        if c == '"' or c == "'":
+            quote = c
+            i += 1
+            while i < n:
+                if line[i] == "\\":
+                    i += 2
+                    continue
+                if line[i] == quote:
+                    i += 1
+                    break
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), in_block_comment, in_raw_string
+
+
+def _bracket_delta(effective: str) -> int:
+    return sum(
+        1 if c in "({[" else -1 if c in ")}]" else 0 for c in effective
+    )
+
+
+def _doc_comment_text(lines: List[str], decl_line_idx: int) -> str:
+    """ast.CommentGroup.Text() for `//` comments directly above a decl.
+
+    Go associates a doc comment only when it ends on the line
+    immediately before the declaration (no blank line between).
+    Text() strips the `//` markers and one leading space, and the
+    result ends with a newline (or is empty).
+    """
+    texts: List[str] = []
+    i = decl_line_idx - 1
+    while i >= 0:
+        stripped = lines[i].strip()
+        if stripped.startswith("//"):
+            body = stripped[2:]
+            if body.startswith(" "):
+                body = body[1:]
+            texts.append(body)
+            i -= 1
+        else:
+            break
+    if not texts:
+        return ""
+    texts.reverse()
+    # CommentGroup.Text() drops trailing blank comment lines and ends
+    # with exactly one "\n".
+    while texts and texts[-1] == "":
+        texts.pop()
+    if not texts:
+        return ""
+    return "\n".join(texts) + "\n"
+
+
+def _count_type_specs(lines: List[str], start: int, end: int) -> int:
+    """Number of specs in a type decl spanning lines[start:end+1]."""
+    first_eff, _, _ = _strip_line(lines[start], False, False)
+    if not re.match(r"^\s*type\s*\(", first_eff):
+        # `type Name ...` single-spec form
+        return 1
+    # `type ( ... )` grouped form: count spec-starting lines at depth 1.
+    specs = 0
+    in_bc = in_raw = False
+    depth = 0
+    for idx in range(start, end + 1):
+        eff, in_bc, in_raw = _strip_line(lines[idx], in_bc, in_raw)
+        stripped = eff.strip()
+        if idx == start:
+            depth += _bracket_delta(eff)
+            continue
+        if depth >= 1 and re.match(r"^\w+\s", stripped):
+            specs += 1
+        depth += _bracket_delta(eff)
+    return max(specs, 1)
+
+
+def chunk_go(content: str) -> List[Tuple[str, int, int]]:
+    """Chunk Go source; returns [(content, token_size, order_index)].
+
+    Raises :class:`GoParseError` for empty or non-Go content, matching
+    the reference's parser failure path (go.go:46-50).
+    """
+    if not content or not content.strip():
+        raise GoParseError("empty content")
+
+    lines = content.split("\n")
+
+    # --- pass 1: find the package clause (must be first non-comment
+    # code, as go/parser requires).
+    package_name: Optional[str] = None
+    in_bc = in_raw = False
+    for idx, line in enumerate(lines):
+        eff, in_bc, in_raw = _strip_line(line, in_bc, in_raw)
+        stripped = eff.strip()
+        if not stripped:
+            continue
+        m = re.match(r"^package\s+(\w+)\s*$", stripped)
+        if m:
+            package_name = m.group(1)
+            package_line = idx
+            break
+        raise GoParseError("expected package clause")
+    if package_name is None:
+        raise GoParseError("no package clause found")
+
+    # --- pass 2: walk top-level declarations with bracket depth.
+    chunks: List[Tuple[str, int, int]] = []
+    order = 0
+
+    # Locate import decls and the last import *spec* line.
+    last_import_spec_line = 0  # 1-based; 0 == no imports
+    decls: List[Tuple[str, int, int]] = []  # (kind, start_idx, end_idx)
+
+    in_bc = in_raw = False
+    depth = 0
+    i = package_line + 1
+    n = len(lines)
+    while i < n:
+        eff, in_bc2, in_raw2 = _strip_line(lines[i], in_bc, in_raw)
+        stripped = eff.strip()
+        if depth == 0 and not in_bc and not in_raw:
+            m = _DECL_RE.match(stripped)
+            if m:
+                kind = m.group(1)
+                start = i
+                # advance to end of decl: depth returns to 0 at EOL
+                d = _bracket_delta(eff)
+                in_bc, in_raw = in_bc2, in_raw2
+                j = i
+                while d > 0 and j + 1 < n:
+                    j += 1
+                    eff_j, in_bc, in_raw = _strip_line(lines[j], in_bc, in_raw)
+                    d += _bracket_delta(eff_j)
+                end = j
+                decls.append((kind, start, end))
+                if kind == "import":
+                    for k in range(start, end + 1):
+                        eff_k, _, _ = _strip_line(lines[k], False, False)
+                        if _IMPORT_SPEC_RE.search(lines[k]) and not lines[
+                            k
+                        ].strip().startswith("//"):
+                            last_import_spec_line = k + 1  # 1-based
+                i = end + 1
+                continue
+        in_bc, in_raw = in_bc2, in_raw2
+        depth += _bracket_delta(eff) if not stripped.startswith("//") else 0
+        i += 1
+
+    # --- header chunk: lines 1..(last import spec line + 1); no
+    # imports => importEnd=0 => line 1 only (go.go:56-75).
+    header_end = last_import_spec_line + 1 if last_import_spec_line else 1
+    header_end = min(header_end, n)
+    header = "\n".join(lines[0:header_end])
+    if header:
+        chunks.append((header, count_tokens(header), order))
+        order += 1
+
+    prefix = f"package {package_name}\n\n"
+
+    for kind, start, end in decls:
+        code = "\n".join(lines[start : end + 1])
+        if kind == "func":
+            doc = _doc_comment_text(lines, start)
+            body = prefix + doc + code
+            chunks.append((body, count_tokens(body), order))
+            order += 1
+        elif kind == "type":
+            doc = _doc_comment_text(lines, start)
+            nspecs = _count_type_specs(lines, start, end)
+            for _ in range(nspecs):
+                body = prefix + doc + code
+                chunks.append((body, count_tokens(body), order))
+                order += 1
+        elif kind in ("const", "var"):
+            body = prefix + code
+            chunks.append((body, count_tokens(body), order))
+            order += 1
+        # import / others: skipped (header covers imports)
+
+    return chunks

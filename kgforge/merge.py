@@ -1,0 +1,381 @@
+"""Entity/relationship merge reduces (E4a/E4b, SURVEY.md §2.4).
+
+Reference semantics (/root/reference/insert.go:499-690), per key:
+
+- entity (key = canonical NAME): type = most frequent over {existing
+  type} ∪ new mention types (mostFrequentItem, rag.go:237-258 — map
+  order ties there are nondeterministic; we tie-break
+  lexicographically per SURVEY §7); descriptions = existing split on
+  <SEP> ++ append-unique new (rag.go:230-235); source_ids =
+  append-unique chunk id; summarize via LLM iff the <SEP>-joined
+  descriptions reach MaxSummariesTokenLength (descriptionsSummary,
+  insert.go:692-723); upsert node.
+- relationship (key = undirected pair): weight is ADDITIVE
+  (insert.go:595-615); descriptions/keywords/source_ids append-unique;
+  placeholder UNKNOWN nodes for dangling endpoints (insert.go:625-663);
+  upsert edge.
+
+Spark shape — built for skew (north rule: salted keys for mega-repos):
+every append-unique list is computed as a TWO-LEVEL aggregation:
+``groupBy(key, element)`` (map-side partial combine spreads a hot key
+across all its distinct elements) followed by ``groupBy(key)``
+collecting only the distinct survivors, ordered deterministically by
+first occurrence.  The additive weight and modal-type counts get
+map-side partial aggregation from Spark's hash aggregate for free.
+The reference's sequential read-modify-write race (SURVEY §3.1 hazard)
+disappears: one associative reduce per key.
+
+Existing table state enters the same reduce as pseudo-mentions with
+priority 0 (sorts before all new mentions), reproducing the
+"existing first, then new-unique" order of the reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from kgforge import tokenizer
+from kgforge.schemas import SEP
+
+DEFAULT_MAX_SUMMARY_TOKENS = 1200  # default.go:44
+
+
+def mock_summarize(name: str, descriptions: list) -> str:
+    """Deterministic stand-in for the LLM summarizer
+    (descriptionsSummary, insert.go:692-723).  Keeps descriptions in
+    order until half the token budget is spent.  A production run
+    plugs an LLM call here (same signature)."""
+    budget = DEFAULT_MAX_SUMMARY_TOKENS // 2
+    kept, used = [], 0
+    for d in descriptions:
+        n = tokenizer.count_tokens(d)
+        if kept and used + n > budget:
+            break
+        kept.append(d)
+        used += n
+    return "Summary of " + name + ": " + SEP.join(kept)
+
+
+def _first_occurrence_list(df, key_cols, elem_col, order_col, out_name):
+    """Append-unique (appendIfUnique, rag.go:230-235) as a two-level
+    agg: distinct per (key, elem) with its earliest order, then
+    collect sorted by first occurrence."""
+    distinct = df.groupBy(*key_cols, elem_col).agg(
+        F.min(order_col).alias("_first")
+    )
+    return distinct.groupBy(*key_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_first"), F.col(elem_col)))
+            ),
+            lambda s: s[elem_col],
+        ).alias(out_name)
+    )
+
+
+def _with_priority_order(df, priority: int):
+    """Prefix order keys so existing rows (priority 0) sort before new
+    mentions (priority 1), matching the reference's merge order."""
+    return df.withColumn(
+        "order_key",
+        F.concat_ws("|", F.lit(str(priority)), F.col("order_key")),
+    )
+
+
+def aggregate_entities(
+    mentions: DataFrame,
+    existing_nodes: Optional[DataFrame] = None,
+    now: Optional[dt.datetime] = None,
+) -> DataFrame:
+    """E4a: mention rows (+ optional existing nodes) -> merged nodes.
+
+    mentions: entity_name, entity_type, description, chunk_id,
+    order_key.  existing_nodes: NODES_SCHEMA.
+    """
+    now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    new = _with_priority_order(
+        mentions.select(
+            F.col("entity_name").alias("entity_id"),
+            "entity_type",
+            "description",
+            F.col("chunk_id").alias("source_id"),
+            "order_key",
+        ),
+        1,
+    ).withColumn("created_at", F.lit(now))
+
+    parts = [new]
+    if existing_nodes is not None:
+        # Existing node -> pseudo-mentions (insert.go:518-527), one
+        # union leg per field so multiplicities stay exact: the type
+        # counts ONCE per node; each stored description keeps its
+        # array position as order; each source_id appears once.
+        nulls = {
+            "entity_type": F.lit(None).cast("string"),
+            "description": F.lit(None).cast("string"),
+            "source_id": F.lit(None).cast("string"),
+        }
+        ex_type = existing_nodes.select(
+            "entity_id",
+            "entity_type",
+            nulls["description"].alias("description"),
+            nulls["source_id"].alias("source_id"),
+            F.lit("000000000").alias("order_key"),
+            "created_at",
+        )
+        ex_descs = existing_nodes.select(
+            "entity_id",
+            nulls["entity_type"].alias("entity_type"),
+            F.posexplode_outer("descriptions").alias("_i", "description"),
+            "created_at",
+        ).select(
+            "entity_id",
+            "entity_type",
+            "description",
+            nulls["source_id"].alias("source_id"),
+            F.lpad(F.col("_i").cast("string"), 9, "0").alias("order_key"),
+            "created_at",
+        )
+        ex_sids = existing_nodes.select(
+            "entity_id",
+            nulls["entity_type"].alias("entity_type"),
+            nulls["description"].alias("description"),
+            F.explode_outer("source_ids").alias("source_id"),
+            F.lit("000000000").alias("order_key"),
+            "created_at",
+        )
+        for leg in (ex_type, ex_descs, ex_sids):
+            parts.append(_with_priority_order(leg, 0))
+
+    all_mentions = parts[0]
+    for p in parts[1:]:
+        all_mentions = all_mentions.unionByName(p)
+
+    # -- modal type with lexicographic tie-break (E6) --
+    type_counts = (
+        all_mentions.filter(F.col("entity_type").isNotNull())
+        .groupBy("entity_id", "entity_type")
+        .count()
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("count"), F.asc("entity_type")
+    )
+    modal_type = (
+        type_counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("entity_id", "entity_type")
+    )
+
+    descs = _first_occurrence_list(
+        all_mentions.filter(F.col("description").isNotNull()),
+        ["entity_id"], "description", "order_key", "descriptions",
+    )
+    sids = (
+        all_mentions.filter(F.col("source_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(F.array_sort(F.collect_set("source_id")).alias("source_ids"))
+    )
+    created = all_mentions.groupBy("entity_id").agg(
+        F.min("created_at").alias("created_at")
+    )
+
+    return (
+        modal_type.join(descs, "entity_id")
+        .join(sids, "entity_id")
+        .join(created, "entity_id")
+    )
+
+
+def aggregate_relationships(
+    mentions: DataFrame,
+    existing_edges: Optional[DataFrame] = None,
+    now: Optional[dt.datetime] = None,
+) -> DataFrame:
+    """E4b: relationship mentions (+ existing edges) -> merged edges."""
+    now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    new = _with_priority_order(
+        mentions.select(
+            "src",
+            "dst",
+            "weight",
+            "description",
+            "keywords",
+            F.col("chunk_id").alias("source_id"),
+            "order_key",
+        ),
+        1,
+    ).withColumn("created_at", F.lit(now))
+
+    parts = [new]
+    if existing_edges is not None:
+        # One union leg per field (see aggregate_entities): weight
+        # counts once per existing edge (insert.go:595-596);
+        # descriptions keep array position; keywords keep array
+        # position; source_ids appear once each.
+        def _leg(cols):
+            return existing_edges.select(
+                "src", "dst", *cols, "created_at"
+            )
+
+        snull = F.lit(None).cast("string")
+        anull = F.lit(None).cast("array<string>")
+        ex_weight = _leg(
+            [
+                F.col("weight"),
+                snull.alias("description"),
+                anull.alias("keywords"),
+                snull.alias("source_id"),
+                F.lit("000000000").alias("order_key"),
+            ]
+        )
+        ex_descs = existing_edges.select(
+            "src",
+            "dst",
+            F.lit(0.0).alias("weight"),
+            F.posexplode_outer("descriptions").alias("_i", "description"),
+            "created_at",
+        ).select(
+            "src",
+            "dst",
+            "weight",
+            "description",
+            anull.alias("keywords"),
+            snull.alias("source_id"),
+            F.lpad(F.col("_i").cast("string"), 9, "0").alias("order_key"),
+            "created_at",
+        )
+        ex_kws = existing_edges.select(
+            "src",
+            "dst",
+            F.lit(0.0).alias("weight"),
+            snull.alias("description"),
+            F.posexplode_outer("keywords").alias("_i", "kw"),
+            "created_at",
+        ).select(
+            "src",
+            "dst",
+            "weight",
+            "description",
+            F.array("kw").alias("keywords"),
+            snull.alias("source_id"),
+            F.lpad(F.col("_i").cast("string"), 9, "0").alias("order_key"),
+            "created_at",
+        )
+        ex_sids = _leg(
+            [
+                F.lit(0.0).alias("weight"),
+                snull.alias("description"),
+                anull.alias("keywords"),
+                F.explode_outer("source_ids").alias("source_id"),
+                F.lit("000000000").alias("order_key"),
+            ]
+        )
+        for leg in (ex_weight, ex_descs, ex_kws, ex_sids):
+            parts.append(_with_priority_order(leg, 0))
+
+    all_m = parts[0]
+    for p in parts[1:]:
+        all_m = all_m.unionByName(p)
+
+    keys = ["src", "dst"]
+    weights = all_m.groupBy(*keys).agg(
+        F.sum("weight").alias("weight"),
+        F.min("created_at").alias("created_at"),
+    )
+    descs = _first_occurrence_list(
+        all_m.filter(F.col("description").isNotNull()),
+        keys, "description", "order_key", "descriptions",
+    )
+    kws = _first_occurrence_list(
+        all_m.select(
+            *keys, "order_key", F.explode_outer("keywords").alias("kw")
+        ).filter(F.col("kw").isNotNull()),
+        keys, "kw", "order_key", "keywords",
+    )
+    sids = (
+        all_m.filter(F.col("source_id").isNotNull())
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_set("source_id")).alias("source_ids"))
+    )
+
+    return (
+        weights.join(descs, keys)
+        .join(kws, keys, "left")
+        .join(sids, keys)
+        .withColumn(
+            "keywords",
+            F.coalesce(F.col("keywords"), F.array().cast("array<string>")),
+        )
+    )
+
+
+def apply_description_summary(
+    df: DataFrame,
+    name_col: str,
+    max_tokens: int = DEFAULT_MAX_SUMMARY_TOKENS,
+    summarize: Callable[[str, list], str] = mock_summarize,
+) -> DataFrame:
+    """descriptionsSummary (insert.go:692-723): if the <SEP>-joined
+    descriptions reach ``max_tokens``, replace them with a summary.
+
+    Token counting + summarization run in one Arrow-batched pandas UDF
+    over the already-aggregated rows (one row per entity/edge — tiny
+    relative to mentions).  Rows under the limit keep their arrays;
+    Catalyst's when/otherwise prunes the common path.
+    """
+
+    @pandas_udf(ArrayType(StringType()))
+    def summarize_udf(
+        names: pd.Series, descs: pd.Series
+    ) -> pd.Series:
+        out = []
+        for name, ds in zip(names, descs):
+            ds = list(ds) if ds is not None else []
+            joined = SEP.join(ds)
+            if tokenizer.count_tokens(joined) < max_tokens:
+                out.append(ds)
+            else:
+                out.append([summarize(name, ds)])
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(
+        "descriptions", summarize_udf(F.col(name_col), F.col("descriptions"))
+    )
+
+
+def placeholder_nodes(
+    edges: DataFrame, nodes: DataFrame, now: Optional[dt.datetime] = None
+) -> DataFrame:
+    """Dangling endpoints -> UNKNOWN placeholder nodes
+    (insert.go:625-663).  Left-anti join of edge endpoints vs nodes;
+    deterministic pick: the lexicographically first incident edge
+    supplies description/source_id."""
+    now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    endpoints = edges.select(
+        F.explode(F.array("src", "dst")).alias("entity_id"),
+        F.col("descriptions"),
+        F.slice(F.col("source_ids"), 1, 1).alias("source_ids"),
+        F.concat_ws("|", "src", "dst").alias("_edge_key"),
+    )
+    dangling = endpoints.join(
+        nodes.select("entity_id"), "entity_id", "left_anti"
+    )
+    w = Window.partitionBy("entity_id").orderBy("_edge_key")
+    return (
+        dangling.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "entity_id",
+            F.lit("UNKNOWN").alias("entity_type"),
+            "descriptions",
+            "source_ids",
+            F.lit(now).alias("created_at"),
+        )
+    )

@@ -1,0 +1,235 @@
+"""End-to-end KG-construction pipeline (Insert path, SURVEY.md §3.1).
+
+Reference lifecycle (insert.go:177-222 -> 224-291 -> 499-690):
+clean -> chunk -> persist chunks -> per-chunk LLM extraction ->
+canonicalize -> merge entities/relationships -> upsert graph + vector
+stores.
+
+Spark plan (one narrow stage + two keyed shuffles + MERGE writes):
+
+  repos (partitioned repo/lang)
+    -> sha-gate anti-join vs checkpoint           [shuffle on doc_id]
+    -> chunker pandas UDF + posexplode            [narrow]
+    -> extraction pandas UDF -> from_json         [narrow]
+    -> explode mentions + canonicalize            [narrow]
+    -> entity reduce  groupBy(entity_id)          [shuffle, 2-level]
+    -> edge reduce    groupBy(src, dst)           [shuffle, 2-level]
+    -> placeholder anti-join, summaries           [small]
+    -> MERGE nodes / edges / embeddings / checkpoint
+
+Scale notes (100 TB / 10^12 files): the expensive work (chunk +
+extract) is embarrassingly parallel and partition-pruned by
+(repo, lang); the only global shuffles key on entity/pair names whose
+skew is absorbed by the two-level aggregations in kgforge.merge plus
+AQE skew handling; all writes are keyed upserts so any re-run (resume)
+is idempotent.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import checkpoint as ckpt
+from kgforge import merge as mrg
+from kgforge.canonicalize import HEURISTIC_ENTITY_TYPES, explode_mentions
+from kgforge.chunking import build_chunks, doc_id_col
+from kgforge.embedding import MODEL_NAME, embed_udf
+from kgforge.extraction import extraction_col
+from kgforge.schemas import SEP
+from kgforge.store import ParquetTableStore
+
+
+@dataclass
+class PipelineConfig:
+    extractor: str = "heuristic"
+    entity_types: Sequence[str] = field(
+        default_factory=lambda: list(HEURISTIC_ENTITY_TYPES)
+    )
+    chunk_max_tokens: int = 1024
+    chunk_overlap_tokens: int = 128
+    max_summary_tokens: int = mrg.DEFAULT_MAX_SUMMARY_TOKENS
+    with_embeddings: bool = True
+    now: dt.datetime = field(
+        default_factory=lambda: dt.datetime(
+            2024, 1, 1, tzinfo=dt.timezone.utc
+        )
+    )
+
+
+def documents_as_repos(docs: DataFrame) -> DataFrame:
+    """Adapt the harness ``documents`` table (doc_id, text, lang,
+    source, n_chars) to the BASELINE.json input_hint corpus shape
+    (repo, path, commit, lang, content) — source plays repo, doc_id
+    plays path, commit is fixed."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def extract_mentions(
+    repos: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """repos -> (chunks, rejects, entity_mentions, rel_mentions)."""
+    chunks, rejects = build_chunks(
+        repos, config.chunk_max_tokens, config.chunk_overlap_tokens
+    )
+    extracted = chunks.withColumn(
+        "extraction", extraction_col(F.col("content"), config.extractor)
+    )
+    ents, rels = explode_mentions(extracted, config.entity_types)
+    return chunks, rejects, ents, rels
+
+
+def build_graph(
+    ent_mentions: DataFrame,
+    rel_mentions: DataFrame,
+    existing_nodes: Optional[DataFrame] = None,
+    existing_edges: Optional[DataFrame] = None,
+    config: Optional[PipelineConfig] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Mentions -> merged (nodes, edges) incl. placeholders + summary."""
+    config = config or PipelineConfig()
+    nodes = mrg.aggregate_entities(
+        ent_mentions, existing_nodes, now=config.now
+    )
+    nodes = mrg.apply_description_summary(
+        nodes, "entity_id", config.max_summary_tokens
+    )
+    edges = mrg.aggregate_relationships(
+        rel_mentions, existing_edges, now=config.now
+    )
+    edges = mrg.apply_description_summary(
+        edges,
+        "src",  # reference summarizes under the composite key; name only feeds the prompt
+        config.max_summary_tokens,
+    )
+    placeholders = mrg.placeholder_nodes(edges, nodes, now=config.now)
+    nodes = nodes.unionByName(placeholders)
+    return nodes, edges
+
+
+def embedding_rows(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """S8: entity text = name+descriptions (insert.go:561); edge text =
+    keywords+src+dst+descriptions (insert.go:683-684)."""
+    ent = nodes.select(
+        F.col("entity_id").alias("id"),
+        F.lit("entity").alias("kind"),
+        F.concat(
+            F.col("entity_id"), F.array_join("descriptions", SEP)
+        ).alias("text"),
+    )
+    rel = edges.select(
+        F.concat_ws("|", "src", "dst").alias("id"),
+        F.lit("relationship").alias("kind"),
+        F.concat(
+            F.array_join("keywords", SEP),
+            F.col("src"),
+            F.col("dst"),
+            F.array_join("descriptions", SEP),
+        ).alias("text"),
+    )
+    return (
+        ent.unionByName(rel)
+        .withColumn("vector", embed_udf(F.col("text")))
+        .withColumn("model", F.lit(MODEL_NAME))
+        .withColumn("created_at", F.lit(None).cast("timestamp"))
+    )
+
+
+def run_insert(
+    spark: SparkSession,
+    repos: DataFrame,
+    store: ParquetTableStore,
+    config: Optional[PipelineConfig] = None,
+) -> dict:
+    """Full resumable insert run against a table store.
+
+    Returns run metrics (docs processed / skipped, chunks, nodes,
+    edges).  Re-running with the same inputs is a no-op thanks to the
+    sha-gate; killing between writes and re-running converges because
+    every write is a keyed upsert.
+    """
+    config = config or PipelineConfig()
+
+    repos_ids = repos.withColumn("doc_id", doc_id_col()).withColumn(
+        "content_sha", F.sha2(F.col("content"), 256)
+    )
+    existing_ckpt = store.read("checkpoint")
+    todo = ckpt.sha_gate(repos_ids, existing_ckpt)
+    # One deterministic pass over the pending docs; cache since the
+    # DAG fans out into chunks/entities/edges/metrics.
+    todo = todo.persist()
+    n_total = repos_ids.count()
+    n_todo = todo.count()
+    if n_todo == 0:
+        todo.unpersist()
+        return {
+            "docs_total": n_total,
+            "docs_processed": 0,
+            "docs_skipped": n_total,
+        }
+
+    chunks, rejects, ents, rels = extract_mentions(
+        todo.drop("doc_id", "content_sha"), config
+    )
+    chunks = chunks.persist()
+    ents = ents.persist()
+    rels = rels.persist()
+
+    store.upsert("chunks", chunks, ["chunk_id"])
+    if rejects.limit(1).count() > 0:
+        store.upsert(
+            "rejects",
+            rejects.withColumn("status", F.lit("go-parse-error")),
+            ["doc_id"],
+        )
+
+    nodes, edges = build_graph(
+        ents,
+        rels,
+        existing_nodes=store.read("nodes"),
+        existing_edges=store.read("edges"),
+        config=config,
+    )
+    nodes = nodes.persist()
+    edges = edges.persist()
+    store.upsert("nodes", nodes, ["entity_id"])
+    store.upsert("edges", edges, ["src", "dst"])
+
+    if config.with_embeddings:
+        store.upsert("embeddings", embedding_rows(nodes, edges), ["id", "kind"])
+
+    # checkpoint: lineage + per-doc metrics
+    docs = todo.select("doc_id", "repo", "lang", "content_sha")
+    chunk_counts = chunks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ent_counts = ents.groupBy("doc_id").agg(
+        F.countDistinct("entity_name").alias("n")
+    )
+    rel_counts = rels.groupBy("doc_id").agg(
+        F.countDistinct("src", "dst").alias("n")
+    )
+    ckpt_rows = ckpt.build_checkpoint_rows(
+        docs, chunk_counts, ent_counts, rel_counts, now=config.now
+    )
+    store.upsert("checkpoint", ckpt_rows, ["doc_id"])
+
+    metrics = {
+        "docs_total": n_total,
+        "docs_processed": n_todo,
+        "docs_skipped": n_total - n_todo,
+        "n_chunks": chunks.count(),
+        "n_nodes": nodes.count(),
+        "n_edges": edges.count(),
+    }
+    for df in (todo, chunks, ents, rels, nodes, edges):
+        df.unpersist()
+    return metrics

@@ -1,0 +1,354 @@
+"""Query-side graph operators (Q3-Q12, SURVEY.md §2.5).
+
+Reference read path (/root/reference/query.go): keyword extraction ->
+two concurrent retrievals:
+
+- localContext (query.go:202-264): low-level keywords -> vector top-k
+  ENTITIES -> batch node get -> degree counts -> 1-hop relationships
+  -> ranked sources;
+- globalContext (query.go:266-347): high-level keywords -> vector
+  top-k RELATIONSHIPS -> endpoints -> degrees -> ranked entities ->
+  ranked sources;
+
+then combineContexts renders CSV sections sorted by ref_count desc
+(query.go:563-592, 601-686).
+
+Spark shape: the graph is two tables; every reference storage call
+becomes a set-oriented join:
+
+- batch get (Q10)        -> semi/inner join against a seed DataFrame
+- degree count (Q8)      -> explode(array(src,dst)) groupBy count
+- 1-hop neighbors (Q9)   -> seeds ⋈ edges (either endpoint)
+- ranked sources (Q6)    -> explode source_ids -> groupBy count
+- vector top-k (Q7)      -> kgforge.embedding.top_k
+
+Seed sets are tiny (top-k) -> Catalyst broadcasts them; the only big
+shuffle is the degree aggregation, which is a partial-aggregated
+count.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgforge.embedding import embed_text, top_k
+from kgforge.schemas import SEP
+
+TOP_K = 5  # chromem.go:53 / tests' top-5
+SCORE_THRESHOLD = 0.2  # milvus.go:31
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Q8: undirected degree per entity — each edge counts for both
+    endpoints (neo.go:410-472)."""
+    return (
+        edges.select(F.explode(F.array("src", "dst")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def vector_seed_ids(
+    embeddings: DataFrame,
+    kind: str,
+    keywords: str,
+    k: int = TOP_K,
+    threshold: Optional[float] = None,
+) -> DataFrame:
+    """Q7: embed the keyword string, cosine top-k over one collection."""
+    qv = embed_text(keywords)
+    return top_k(
+        embeddings.filter(F.col("kind") == kind), qv, k, threshold
+    ).select("id", "score")
+
+
+def one_hop_edges(seeds: DataFrame, edges: DataFrame) -> DataFrame:
+    """Q9/Q5a: all edges incident to a seed entity (either endpoint).
+    seeds: DataFrame[entity_id].  Broadcast the tiny seed set."""
+    s = F.broadcast(seeds.select("entity_id").distinct())
+    return (
+        edges.join(s, edges.src == s.entity_id, "left_semi")
+        .unionByName(edges.join(s, edges.dst == s.entity_id, "left_semi"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _entity_contexts(nodes_sel: DataFrame, deg: DataFrame) -> DataFrame:
+    return (
+        nodes_sel.join(deg, "entity_id", "left")
+        .select(
+            F.col("entity_id").alias("name"),
+            F.col("entity_type").alias("type"),
+            F.array_join("descriptions", SEP).alias("description"),
+            F.coalesce("degree", F.lit(0)).cast("int").alias("ref_count"),
+            "created_at",
+        )
+    )
+
+
+def _relationship_contexts(edges_sel: DataFrame, deg: DataFrame) -> DataFrame:
+    """refCount = degree(src) + degree(dst) (query.go:309-319)."""
+    d_src = deg.withColumnRenamed("entity_id", "src").withColumnRenamed(
+        "degree", "deg_src"
+    )
+    d_dst = deg.withColumnRenamed("entity_id", "dst").withColumnRenamed(
+        "degree", "deg_dst"
+    )
+    return (
+        edges_sel.join(d_src, "src", "left")
+        .join(d_dst, "dst", "left")
+        .select(
+            F.col("src").alias("source"),
+            F.col("dst").alias("target"),
+            F.array_join("keywords", SEP).alias("keywords"),
+            F.array_join("descriptions", SEP).alias("description"),
+            "weight",
+            (
+                F.coalesce("deg_src", F.lit(0))
+                + F.coalesce("deg_dst", F.lit(0))
+            ).cast("int").alias("ref_count"),
+            "created_at",
+        )
+    )
+
+
+def entities_ranked_sources(
+    seed_nodes: DataFrame,
+    related_nodes: DataFrame,
+    chunks: DataFrame,
+) -> DataFrame:
+    """Q6a (query.go:419-478): seed entities' source ids start at
+    count 0; +1 for each occurrence in RELATED entities' source ids
+    (only ids seeded by a primary entity count)."""
+    seeded = (
+        seed_nodes.select(F.explode("source_ids").alias("source_id"))
+        .filter(F.col("source_id") != "")
+        .distinct()
+    )
+    related_occ = (
+        related_nodes.select(F.explode("source_ids").alias("source_id"))
+        .filter(F.col("source_id") != "")
+        .groupBy("source_id")
+        .agg(F.count("*").alias("occ"))
+    )
+    counted = seeded.join(related_occ, "source_id", "left").select(
+        "source_id",
+        F.coalesce("occ", F.lit(0)).cast("int").alias("ref_count"),
+    )
+    return counted.join(
+        chunks.select(F.col("chunk_id").alias("source_id"), "content"),
+        "source_id",
+        "inner",
+    ).select("content", "source_id", "ref_count")
+
+
+def relationships_ranked_sources(
+    edges_sel: DataFrame, chunks: DataFrame
+) -> DataFrame:
+    """Q6b (query.go:519-561): count occurrences of each source id
+    across the selected edges."""
+    occ = (
+        edges_sel.select(F.explode("source_ids").alias("source_id"))
+        .filter(F.col("source_id") != "")
+        .groupBy("source_id")
+        .agg(F.count("*").cast("int").alias("ref_count"))
+    )
+    return occ.join(
+        chunks.select(F.col("chunk_id").alias("source_id"), "content"),
+        "source_id",
+        "inner",
+    ).select("content", "source_id", "ref_count")
+
+
+def local_context(
+    keywords: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    chunks: DataFrame,
+    embeddings: DataFrame,
+    k: int = TOP_K,
+):
+    """Q3 (query.go:202-264). Returns (entities, relationships,
+    sources) context DataFrames; empty keyword -> empty results."""
+    if not keywords.strip():
+        return _empty_contexts(nodes, edges, chunks)
+    seeds = vector_seed_ids(embeddings, "entity", keywords, k).select(
+        F.col("id").alias("entity_id")
+    )
+    deg = degrees(edges)
+    seed_nodes = nodes.join(F.broadcast(seeds), "entity_id", "left_semi")
+    ent_ctx = _entity_contexts(seed_nodes, deg)
+
+    hop = one_hop_edges(seeds, edges)
+    rel_ctx = _relationship_contexts(hop, deg)
+
+    # related entities = endpoints of 1-hop edges minus the seeds
+    related_ids = (
+        hop.select(F.explode(F.array("src", "dst")).alias("entity_id"))
+        .distinct()
+        .join(seeds, "entity_id", "left_anti")
+    )
+    related_nodes = nodes.join(
+        F.broadcast(related_ids), "entity_id", "left_semi"
+    )
+    src_ctx = entities_ranked_sources(seed_nodes, related_nodes, chunks)
+    return ent_ctx, rel_ctx, src_ctx
+
+
+def global_context(
+    keywords: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    chunks: DataFrame,
+    embeddings: DataFrame,
+    k: int = TOP_K,
+):
+    """Q4 (query.go:266-347): edge-first retrieval."""
+    if not keywords.strip():
+        return _empty_contexts(nodes, edges, chunks)
+    seeds = vector_seed_ids(embeddings, "relationship", keywords, k)
+    edge_keys = seeds.select(
+        F.split(F.col("id"), r"\|").getItem(0).alias("src"),
+        F.split(F.col("id"), r"\|").getItem(1).alias("dst"),
+    )
+    sel_edges = edges.join(
+        F.broadcast(edge_keys), ["src", "dst"], "left_semi"
+    )
+    deg = degrees(edges)
+    rel_ctx = _relationship_contexts(sel_edges, deg)
+
+    endpoint_ids = sel_edges.select(
+        F.explode(F.array("src", "dst")).alias("entity_id")
+    ).distinct()
+    endpoint_nodes = nodes.join(
+        F.broadcast(endpoint_ids), "entity_id", "left_semi"
+    )
+    ent_ctx = _entity_contexts(endpoint_nodes, deg)
+    src_ctx = relationships_ranked_sources(sel_edges, chunks)
+    return ent_ctx, rel_ctx, src_ctx
+
+
+def _empty_contexts(nodes, edges, chunks):
+    ent = _entity_contexts(nodes.limit(0), degrees(edges.limit(0)))
+    rel = _relationship_contexts(edges.limit(0), degrees(edges.limit(0)))
+    src = relationships_ranked_sources(edges.limit(0), chunks.limit(0))
+    return ent, rel, src
+
+
+# ---------------------------------------------------------------------------
+# Q11/Q12: combine + CSV render (query.go:563-592, 601-686)
+# ---------------------------------------------------------------------------
+
+
+def _q(value) -> str:
+    """Go %q quoting (approximation: double-quote with escaping)."""
+    s = str(value)
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _combine(headers: List[str], ctx1: List[tuple], ctx2: List[tuple]) -> str:
+    """combineContexts: merge keyed by rendered row (later wins), sort
+    ref_count desc, CSV with row-number ids."""
+    merged = {}
+    for row, ref in ctx1:
+        merged[row] = (row, ref)
+    for row, ref in ctx2:
+        merged[row] = (row, ref)
+    ordered = sorted(merged.values(), key=lambda t: -t[1])
+    out = ",".join(headers) + "\n"
+    for i, (row, _) in enumerate(ordered):
+        out += f"{_q(i)},{row}\n"
+    return out
+
+
+def _entity_rows(df: DataFrame) -> List[tuple]:
+    return [
+        (
+            ",".join(
+                [_q(r.name), _q(r.type), _q(r.description),
+                 _q(r.ref_count), _q(r.created_at)]
+            ),
+            r.ref_count,
+        )
+        for r in df.collect()
+    ]
+
+
+def _rel_rows(df: DataFrame) -> List[tuple]:
+    return [
+        (
+            ",".join(
+                [_q(r.source), _q(r.target), _q(r.keywords),
+                 _q(r.description), _q(f"{r.weight:.2f}"),
+                 _q(r.ref_count), _q(r.created_at)]
+            ),
+            r.ref_count,
+        )
+        for r in df.collect()
+    ]
+
+
+def _src_rows(df: DataFrame) -> List[tuple]:
+    return [
+        (
+            ",".join([_q(r.content), _q(r.source_id), _q(r.ref_count)]),
+            r.ref_count,
+        )
+        for r in df.collect()
+    ]
+
+
+def query(
+    low_keywords: str,
+    high_keywords: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+    chunks: DataFrame,
+    embeddings: DataFrame,
+    k: int = TOP_K,
+) -> dict:
+    """Full read path: returns the six context DataFrames keyed as the
+    reference's QueryResult fields (query.go:36-43)."""
+    le, lr, ls = local_context(low_keywords, nodes, edges, chunks,
+                               embeddings, k)
+    ge, gr, gs = global_context(high_keywords, nodes, edges, chunks,
+                                embeddings, k)
+    return {
+        "local_entities": le,
+        "local_relationships": lr,
+        "local_sources": ls,
+        "global_entities": ge,
+        "global_relationships": gr,
+        "global_sources": gs,
+    }
+
+
+def render_query_result(result: dict) -> str:
+    """QueryResult.String (query.go:601-686): three fenced CSV
+    sections, ref_count descending, local overriding global on exact
+    duplicate rows."""
+    entities = _combine(
+        ["id", "name", "type", "description", "ref_count", "created_at"],
+        _entity_rows(result["global_entities"]),
+        _entity_rows(result["local_entities"]),
+    )
+    relationships = _combine(
+        ["id", "source", "target", "keywords", "description", "weight",
+         "ref_count", "created_at"],
+        _rel_rows(result["global_relationships"]),
+        _rel_rows(result["local_relationships"]),
+    )
+    sources = _combine(
+        ["id", "content", "ref_count"],
+        _src_rows(result["global_sources"]),
+        _src_rows(result["local_sources"]),
+    )
+    fence = "```"
+    return (
+        f"\n-----Entities-----\n{fence}csv\n{entities}\n{fence}\n"
+        f"-----Relationships-----\n{fence}csv\n{relationships}\n{fence}\n"
+        f"-----Sources-----\n{fence}csv\n{sources}\n{fence}"
+    )

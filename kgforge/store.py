@@ -1,0 +1,122 @@
+"""Table store: the Spark analog of the reference's storage planes.
+
+The reference talks to Neo4j/Kuzu (graph), Chromem/Milvus (vector) and
+Bolt/Redis (KV) (SURVEY.md §1.2).  Here all four planes are columnar
+tables in one catalog namespace: ``chunks``, ``nodes``, ``edges``,
+``embeddings``, ``checkpoint``, ``rejects``.
+
+Production target is Iceberg (``MERGE INTO`` upserts, hidden
+partitioning on (repo, lang), ``write.distribution-mode=hash`` so
+commits fan out).  This sandbox ships no Iceberg runtime jar, so the
+default backend emulates the same contract on plain parquet
+directories with atomic directory swap:
+
+- ``upsert(name, df, keys)`` == MERGE INTO (matched -> replace row,
+  not matched -> insert) — note the pipeline pre-merges old+new state
+  through the reduce in :mod:`kgforge.merge`, so upsert degenerates to
+  "replace by key";
+- writes go to a temp dir then rename — a crash mid-write never
+  corrupts the table (Iceberg gives this via snapshot commits).
+
+The interface is deliberately the full surface the pipeline needs so
+an IcebergTableStore drop-in only changes SQL strings, not callers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTableStore:
+    """Parquet-backed emulation of an Iceberg namespace."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for root_, _, files in os.walk(p)
+            for f in files
+        )
+
+    def read(self, name: str) -> Optional[DataFrame]:
+        if not self.exists(name):
+            return None
+        return self.spark.read.parquet(self._path(name))
+
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """Atomic full replace: write tmp dir, swap, drop old."""
+        final = self._path(name)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        old = final + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(name))
+
+    def upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: Sequence[str],
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """MERGE INTO emulation: new rows win on key collision.
+
+        Iceberg equivalent::
+
+            MERGE INTO ns.<name> t USING updates s
+            ON  <t.k = s.k for k in keys>
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """
+        existing = self.read(name)
+        if existing is None:
+            self.overwrite(name, df, partition_by)
+            return
+        keep = existing.join(
+            df.select(*keys).dropDuplicates(list(keys)), list(keys),
+            "left_anti",
+        )
+        merged = keep.unionByName(
+            df.select(*existing.columns), allowMissingColumns=False
+        )
+        self.overwrite(name, merged, partition_by)
+
+    def drop(self, name: str) -> None:
+        p = self._path(name)
+        if os.path.exists(p):
+            shutil.rmtree(p)

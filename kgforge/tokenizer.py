@@ -1,0 +1,82 @@
+"""Deterministic BPE-style tokenizer (vendored tiktoken stand-in).
+
+The reference counts/sizes chunks with the GPT-4o BPE via tiktoken
+(`/root/reference/internal/helper.go:39-72`).  tiktoken wheels are not
+available in this environment, so we vendor a deterministic regex
+tokenizer with the same *contract*:
+
+- ``encode(text)`` -> list of tokens; ``decode(encode(text)) == text``
+  (lossless: the token strings tile the input exactly);
+- ``decode`` of any *slice* of the token list reproduces the exact
+  substring — this is what the sliding-window chunker relies on
+  (`/root/reference/handler/default.go:53-96`);
+- ``count_tokens(text) == len(encode(text))``
+  (`/root/reference/internal/helper.go:63-72`).
+
+The golden invariant pinned by the reference tests is
+``chunk.TokenSize == CountTokens(chunk.Content)``
+(`/root/reference/handler/default_test.go:115-130`), which holds for
+any self-consistent tokenizer; absolute token ids are never asserted.
+
+The split pattern mirrors the published GPT-2/o200k regex families
+(contractions, space-prefixed letter runs, short digit groups,
+punctuation runs, whitespace) using only stdlib ``re``.  Any character
+the pattern cannot cover (none in practice) is emitted as a
+single-character token, guaranteeing losslessness.
+
+Pure functions of the input string => safe inside vectorized pandas
+UDFs and deterministic across executors.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+# GPT-2-family split pattern, stdlib-re edition:
+#   - contractions ('s 't 're 've 'm 'll 'd)
+#   - optional single leading space + unicode letter run
+#   - optional single leading space + 1-3 digit group (BPE-ish number split)
+#   - optional single leading space + punctuation/symbol run (non-space,
+#     non-letter, non-digit; includes underscore explicitly)
+#   - newline runs (with any preceding horizontal whitespace)
+#   - whitespace run not followed by non-space (trailing)
+#   - any other whitespace run
+_TOKEN_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[^\W\d_]+"
+    r"| ?\d{1,3}"
+    r"| ?[^\s\w]+"
+    r"| ?_+"
+    r"|\s*[\r\n]+"
+    r"|\s+(?!\S)"
+    r"|\s+",
+    re.UNICODE,
+)
+
+
+def encode(text: str) -> List[str]:
+    """Tokenize ``text`` into a lossless list of token strings."""
+    if not text:
+        return []
+    tokens: List[str] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.start() > pos:
+            # Cover any gap char-by-char so concatenation is lossless.
+            tokens.extend(text[pos:m.start()])
+        tokens.append(m.group())
+        pos = m.end()
+    if pos < len(text):
+        tokens.extend(text[pos:])
+    return tokens
+
+
+def decode(tokens: List[str]) -> str:
+    """Inverse of :func:`encode`; also valid on any contiguous slice."""
+    return "".join(tokens)
+
+
+def count_tokens(text: str) -> int:
+    """Token count; mirrors internal.CountTokens (helper.go:63-72)."""
+    return len(encode(text))

@@ -1,0 +1,12 @@
+import pytest
+
+from kgforge.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(
+        "kgforge-tests", master="local[4]", shuffle_partitions=8
+    )
+    yield s
+    s.stop()

@@ -1,0 +1,243 @@
+"""Golden chunker tests — port of the reference's layer-1 unit tests.
+
+C1 default window: /root/reference/handler/default_test.go:12-138.
+C2 Go scanner:     /root/reference/handler/go_test.go:13-351.
+Spark plumbing:    chunk_id scheme rag.go:264-266; sha256 lineage
+invariant (FIXTURES.md F1/F2).
+"""
+
+import hashlib
+
+import pytest
+
+from kgforge import tokenizer
+from kgforge.chunking import build_chunks, chunk_default
+from kgforge.gochunk import GoParseError, chunk_go
+
+# ---------------------------------------------------------------------------
+# C1 default chunker (default_test.go)
+# ---------------------------------------------------------------------------
+
+
+def test_default_empty_content():
+    assert chunk_default("") == []  # default_test.go:21-25
+
+
+def test_default_small_single_chunk():
+    text = "This is a small text that should fit in a single chunk."
+    chunks = chunk_default(text)
+    assert len(chunks) == 1
+    content, token_size, order = chunks[0]
+    assert content == text
+    assert order == 0
+    assert token_size == tokenizer.count_tokens(text)
+
+
+def test_default_multi_chunk_with_overlap():
+    # default_test.go:40-53 + verifyChunkOverlap:173-185
+    text = "This sentence contains about nine tokens. " * 300
+    chunks = chunk_default(text)
+    assert len(chunks) == 3
+    for i, (content, token_size, order) in enumerate(chunks):
+        assert order == i
+        assert token_size == tokenizer.count_tokens(content)
+    for i in range(len(chunks) - 1):
+        tail = chunks[i][0][-40:]
+        assert tail in chunks[i + 1][0], "overlap must carry over"
+
+
+def test_default_custom_sizes_cap_token_size():
+    # default_test.go:54-73: max=30 overlap=5 => >=3 chunks, all <=30
+    chunks = chunk_default("Short text. " * 30, 30, 5)
+    assert len(chunks) >= 3
+    assert all(ts <= 30 for _, ts, _ in chunks)
+
+
+def test_default_unicode_preserved():
+    text = "Special characters: 🚀 😊 üñîçødé\nNew lines\tTabs中文日本語"
+    chunks = chunk_default(text)
+    assert len(chunks) == 1
+    assert chunks[0][0] == text.strip()
+
+
+def test_default_token_size_always_recount():
+    # default_test.go:115-130 invariant
+    for text in [
+        "word " * 500,
+        "This sentence contains about nine tokens. " * 300,
+    ]:
+        for content, token_size, _ in chunk_default(text):
+            assert token_size == tokenizer.count_tokens(content)
+
+
+# ---------------------------------------------------------------------------
+# C2 Go chunker (go_test.go)
+# ---------------------------------------------------------------------------
+
+FULL_EXAMPLE = """package example
+
+import (
+\t"fmt"
+\t"strings"
+)
+
+const (
+\tDefaultPrefix = "User-"
+)
+
+var MaxUserCount = 100
+
+type User struct {
+\tID   int
+\tName string
+}
+
+func (u *User) FullName() string {
+\treturn DefaultPrefix + u.Name
+}
+
+func CreateUser(name string) User {
+\treturn User{
+\t\tName: name,
+\t}
+}"""
+
+
+def _check_invariants(chunks):
+    for i, (content, token_size, order) in enumerate(chunks):
+        assert order == i
+        assert token_size == tokenizer.count_tokens(content)
+
+
+def test_go_empty_and_invalid_error():
+    for bad in ["", "this is not valid Go code"]:  # go_test.go:20-29
+        with pytest.raises(GoParseError):
+            chunk_go(bad)
+
+
+def test_go_package_only():
+    chunks = chunk_go("package example")  # go_test.go:31-52
+    assert len(chunks) == 1
+    assert chunks[0][0] == "package example"
+    _check_invariants(chunks)
+
+
+def test_go_package_and_imports():
+    content = 'package example\n\nimport (\n\t"fmt"\n\t"strings"\n)'
+    chunks = chunk_go(content)  # go_test.go:53-75
+    assert len(chunks) == 1
+    assert "import" in chunks[0][0]
+    _check_invariants(chunks)
+
+
+def test_go_simple_function():
+    content = "package example\n\nfunc Add(a, b int) int {\n\treturn a + b\n}"
+    chunks = chunk_go(content)  # go_test.go:76-113
+    assert len(chunks) == 2
+    assert "package example" in chunks[0][0]
+    assert "func Add" in chunks[1][0]
+    _check_invariants(chunks)
+
+
+def test_go_type_definition():
+    content = (
+        "package example\n\ntype Person struct {\n\tName string\n\tAge  int\n}"
+    )
+    chunks = chunk_go(content)  # go_test.go:114-149
+    assert len(chunks) == 2
+    assert "type Person struct" in chunks[1][0]
+    assert all("package example" in c for c, _, _ in chunks)
+    _check_invariants(chunks)
+
+
+def test_go_const_and_var():
+    content = (
+        "package example\n\nconst (\n\tMaxAge = 120\n\tMinAge = 0\n)\n\n"
+        'var DefaultName = "Anonymous"'
+    )
+    chunks = chunk_go(content)  # go_test.go:150-201
+    assert len(chunks) == 3
+    assert any("const (" in c for c, _, _ in chunks)
+    assert any("var DefaultName" in c for c, _, _ in chunks)
+    assert all("package example" in c for c, _, _ in chunks)
+    _check_invariants(chunks)
+
+
+def test_go_complete_example():
+    chunks = chunk_go(FULL_EXAMPLE)  # go_test.go:202-281
+    assert len(chunks) == 6
+    _check_invariants(chunks)
+    assert all("package example" in c for c, _, _ in chunks)
+    expectations = [
+        "import",
+        "const",
+        "var MaxUserCount",
+        "type User struct",
+        "func (u *User)",
+        "func CreateUser",
+    ]
+    for needle in expectations:
+        assert any(needle in c for c, _, _ in chunks), needle
+    # order: header, const, var, type, method, func
+    for i, needle in enumerate(expectations):
+        assert needle in chunks[i][0]
+
+
+def test_go_doc_comments_included():
+    content = (
+        "package example\n\n"
+        "// Add adds two integers and returns the result\n"
+        "// It demonstrates basic addition\n"
+        "func Add(a, b int) int {\n\treturn a + b\n}"
+    )
+    chunks = chunk_go(content)  # go_test.go:286-322
+    assert len(chunks) == 2
+    assert "Add adds two integers" in chunks[1][0]
+    _check_invariants(chunks)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side plumbing: build_chunks
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    rows = [
+        ("example.com/calc", "add.go", "abc123", "go",
+         "package example\n\nfunc Add(a, b int) int {\n\treturn a + b\n}"),
+        ("example.com/calc", "notes.txt", "abc123", "text",
+         "This is a small text that should fit in a single chunk."),
+        ("example.com/bad", "bad.go", "def456", "go",
+         "this is not valid Go code"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_build_chunks_ids_dispatch_rejects(spark):
+    chunks, rejects = build_chunks(_corpus(spark))
+    got = {r.chunk_id: r for r in chunks.collect()}
+    # go file -> 2 chunks via the Go scanner; text file -> 1 chunk
+    assert set(got) == {
+        "example.com/calc:add.go@abc123-chunk-0",
+        "example.com/calc:add.go@abc123-chunk-1",
+        "example.com/calc:notes.txt@abc123-chunk-0",
+    }
+    assert "func Add" in got["example.com/calc:add.go@abc123-chunk-1"].content
+    # invalid go routed to rejects, not failure
+    rej = rejects.collect()
+    assert len(rej) == 1 and rej[0].doc_id == "example.com/bad:bad.go@def456"
+
+
+def test_build_chunks_sha_invariant(spark):
+    chunks, _ = build_chunks(_corpus(spark))
+    rows = chunks.collect()
+    text_content = "This is a small text that should fit in a single chunk."
+    expected = hashlib.sha256(text_content.encode()).hexdigest()
+    txt = [r for r in rows if r.lang == "text"]
+    assert txt and all(r.content_sha == expected for r in txt)
+    # every chunk row carries its parent doc's sha, token_size recounts
+    for r in rows:
+        assert r.token_size == tokenizer.count_tokens(r.content)
+        assert len(r.content_sha) == 64

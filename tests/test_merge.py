@@ -1,0 +1,240 @@
+"""Golden extraction + merge tests — port of insert_test.go (F4).
+
+This is the P/R anchor: the mock extractor returns the reference
+MockLLM JSON verbatim (insert_test.go:29-52) and the merged node/edge
+tables must match the reference's asserted state
+(insert_test.go:109-179), reaching P/R >= 0.95 on (subj, pred, obj)
+triples.  Comparison rules per FIXTURES.md F7: <SEP> lists as sets,
+created_at ignored.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.canonicalize import DEFAULT_ENTITY_TYPES, explode_mentions
+from kgforge.chunking import build_chunks
+from kgforge.extraction import (
+    FIXTURE_MARKER,
+    extraction_col,
+    heuristic_extract,
+    parse_llm_result,
+)
+from kgforge.merge import (
+    aggregate_entities,
+    aggregate_relationships,
+    placeholder_nodes,
+)
+from kgforge.pipeline import PipelineConfig, build_graph, extract_mentions
+
+
+def _marker_corpus(spark, content=None):
+    content = content or (
+        f"Some test content mentioning the marker {FIXTURE_MARKER} here."
+    )
+    return spark.createDataFrame(
+        [("test", "doc-1", "HEAD", "text", content)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def _mentions(spark, corpus, entity_types=DEFAULT_ENTITY_TYPES):
+    chunks, _ = build_chunks(corpus)
+    extracted = chunks.withColumn(
+        "extraction", extraction_col(F.col("content"), "fixture")
+    )
+    return explode_mentions(extracted, entity_types)
+
+
+def test_golden_nodes_and_edges(spark):
+    ents, rels = _mentions(spark, _marker_corpus(spark))
+    nodes = {r.entity_id: r for r in aggregate_entities(ents).collect()}
+    edges = aggregate_relationships(rels).collect()
+
+    # insert_test.go:109-147 — two entities, uppercase names,
+    # canonical types, descriptions + source chunk id present.
+    assert set(nodes) == {"ENTITY1", "ENTITY2"}
+    assert nodes["ENTITY1"].entity_type == "PERSON"
+    assert nodes["ENTITY2"].entity_type == "ORGANIZATION"
+    assert "This is a description of Entity1" in nodes["ENTITY1"].descriptions
+    assert "This is a description of Entity2" in nodes["ENTITY2"].descriptions
+    chunk0 = "test:doc-1@HEAD-chunk-0"
+    assert chunk0 in nodes["ENTITY1"].source_ids
+    assert chunk0 in nodes["ENTITY2"].source_ids
+
+    # insert_test.go:148-179 — one relationship, 3 keywords, weight 1.
+    assert len(edges) == 1
+    e = edges[0]
+    assert (e.src, e.dst) == ("ENTITY1", "ENTITY2")
+    assert e.weight == pytest.approx(1.0)
+    assert set(e.keywords) == {"RELATED_TO", "RELATED", "TO"}
+    assert "Entity1 is related to Entity2" in e.descriptions
+    assert chunk0 in e.source_ids
+
+
+def test_additive_weight_on_reinsert(spark):
+    """Weights are additive on re-insert (insert.go:595-615):
+    running the same chunk against the existing graph doubles the
+    weight but keeps descriptions/keywords/source_ids deduped."""
+    ents, rels = _mentions(spark, _marker_corpus(spark))
+    nodes1 = aggregate_entities(ents)
+    edges1 = aggregate_relationships(rels)
+
+    nodes2 = aggregate_entities(ents, existing_nodes=nodes1)
+    edges2 = aggregate_relationships(rels, existing_edges=edges1)
+
+    e = edges2.collect()[0]
+    assert e.weight == pytest.approx(2.0)
+    assert len(e.descriptions) == 1  # append-unique
+    assert set(e.keywords) == {"RELATED_TO", "RELATED", "TO"}
+    assert len(e.source_ids) == 1
+
+    n = {r.entity_id: r for r in nodes2.collect()}
+    assert n["ENTITY1"].entity_type == "PERSON"
+    assert len(n["ENTITY1"].descriptions) == 1
+
+
+def test_canonicalization_fixtures(spark):
+    """insert.go:463-488: lowercase name/type -> upper; invalid type ->
+    UNKNOWN (FIXTURES.md F4 canonicalization block)."""
+    payload = {
+        "entities": [
+            {
+                "entity_name": "entity1",
+                "entity_type": "person",
+                "entity_description": "lower in, upper out",
+            },
+            {
+                "entity_name": "weirdo",
+                "entity_type": "alien",
+                "entity_description": "invalid type",
+            },
+        ],
+        "relationships": [],
+    }
+    from kgforge.extraction import FixtureExtractor
+
+    extractor = FixtureExtractor({"CANON-TEST": payload})
+    result = extractor("document containing CANON-TEST marker")
+    assert result["entities"][0]["entity_name"] == "entity1"
+
+    rows = [
+        (
+            "c0", "d0", "r0", "text", 0, json.dumps(payload),
+            "sha", 0,
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "chunk_id string, doc_id string, repo string, lang string, "
+        "order_index int, raw string, content_sha string, dummy int",
+    ).withColumn(
+        "extraction",
+        F.from_json("raw", "entities array<struct<entity_name:string,"
+                    "entity_type:string,entity_description:string>>, "
+                    "relationships array<struct<source_entity:string,"
+                    "target_entity:string,relationship_description:string,"
+                    "relationship_keywords:array<string>,"
+                    "relationship_strength:double>>"),
+    )
+    ents, _ = explode_mentions(df, DEFAULT_ENTITY_TYPES)
+    got = {r.entity_name: r.entity_type for r in ents.collect()}
+    assert got == {"ENTITY1": "PERSON", "WEIRDO": "UNKNOWN"}
+
+
+def test_placeholder_nodes_for_dangling_endpoints(spark):
+    """Relationship endpoints without an entity row become UNKNOWN
+    placeholder nodes (insert.go:625-663)."""
+    payload = {
+        "entities": [
+            {
+                "entity_name": "Entity1",
+                "entity_type": "Person",
+                "entity_description": "only entity",
+            }
+        ],
+        "relationships": [
+            {
+                "source_entity": "Entity1",
+                "target_entity": "Ghost",
+                "relationship_description": "dangling target",
+                "relationship_keywords": ["K"],
+                "relationship_strength": 1.0,
+            }
+        ],
+    }
+    corpus = _marker_corpus(spark, "text DANGLE-TEST text")
+    from kgforge.extraction import FixtureExtractor, EXTRACTORS
+
+    EXTRACTORS["_dangle"] = lambda: FixtureExtractor({"DANGLE-TEST": payload})
+    try:
+        cfg = PipelineConfig(extractor="_dangle",
+                             entity_types=DEFAULT_ENTITY_TYPES)
+        chunks, rejects, ents, rels = extract_mentions(corpus, cfg)
+        nodes, edges = build_graph(ents, rels, config=cfg)
+        got = {r.entity_id: r for r in nodes.collect()}
+        assert set(got) == {"ENTITY1", "GHOST"}
+        assert got["GHOST"].entity_type == "UNKNOWN"
+        assert "dangling target" in got["GHOST"].descriptions[0]
+    finally:
+        del EXTRACTORS["_dangle"]
+
+
+def test_triple_precision_recall(spark):
+    """The P/R >= 0.95 gate from BASELINE.json: emitted triples
+    (src, dst, keyword-set) and node rows (entity_id, entity_type)
+    vs the golden set."""
+    ents, rels = _mentions(spark, _marker_corpus(spark))
+    nodes, edges = build_graph(
+        ents, rels, config=PipelineConfig(entity_types=DEFAULT_ENTITY_TYPES)
+    )
+
+    golden_nodes = {("ENTITY1", "PERSON"), ("ENTITY2", "ORGANIZATION")}
+    golden_triples = {
+        ("ENTITY1", "ENTITY2", frozenset({"RELATED_TO", "RELATED", "TO"}))
+    }
+    got_nodes = {
+        (r.entity_id, r.entity_type) for r in nodes.collect()
+    }
+    got_triples = {
+        (r.src, r.dst, frozenset(r.keywords)) for r in edges.collect()
+    }
+
+    def pr(got, golden):
+        tp = len(got & golden)
+        precision = tp / len(got) if got else 0.0
+        recall = tp / len(golden) if golden else 1.0
+        return precision, recall
+
+    for got, golden in [(got_nodes, golden_nodes),
+                        (got_triples, golden_triples)]:
+        precision, recall = pr(got, golden)
+        assert precision >= 0.95 and recall >= 0.95
+
+
+def test_parse_llm_result_cleanup_chain():
+    """P2/P3/P4: think tags, markdown fences, trailing commas."""
+    raw = (
+        "<think>internal chain of thought</think>\n"
+        "```json\n"
+        '{"entities": [{"entity_name": "A", "entity_type": "person",'
+        ' "entity_description": "d",}], "relationships": [],}\n'
+        "```"
+    )
+    parsed = parse_llm_result(raw)
+    assert parsed["entities"][0]["entity_name"] == "A"
+    assert parse_llm_result("not json at all") == {
+        "entities": [],
+        "relationships": [],
+    }
+
+
+def test_heuristic_extractor_deterministic():
+    r1 = heuristic_extract("the quick brownfox jumped over lazydog fences")
+    r2 = heuristic_extract("the quick brownfox jumped over lazydog fences")
+    assert r1 == r2
+    names = {e["entity_name"] for e in r1["entities"]}
+    assert names == {"BROWNFOX", "JUMPED", "LAZYDOG", "FENCES"}
+    for rel in r1["relationships"]:
+        assert rel["source_entity"] < rel["target_entity"]

@@ -1,0 +1,118 @@
+"""Pipeline-level tests: sha gate, resume idempotence (F6), lineage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.pipeline import PipelineConfig, run_insert
+from kgforge.store import ParquetTableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetTableStore(spark, str(tmp_path / "tables"))
+
+
+def _corpus(spark):
+    rows = [
+        ("example.com/calc", "add.go", "c1", "go",
+         "package example\n\nfunc Add(a, b int) int {\n\treturn a + b\n}"),
+        ("example.com/calc", "doc.txt", "c1", "text",
+         "analytics engines shuffle partitions between executors nightly"),
+        ("example.com/web", "notes.txt", "c2", "text",
+         "vectorized execution pipelines stream batches through operators"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def test_run_and_skip_unchanged(spark, store):
+    cfg = PipelineConfig()
+    m1 = run_insert(spark, _corpus(spark), store, cfg)
+    assert m1["docs_processed"] == 3 and m1["n_chunks"] >= 4
+    # second run: sha gate skips everything (S2, rag_test.go:585-624)
+    m2 = run_insert(spark, _corpus(spark), store, cfg)
+    assert m2["docs_processed"] == 0 and m2["docs_skipped"] == 3
+
+
+def test_changed_content_reprocessed(spark, store):
+    cfg = PipelineConfig()
+    run_insert(spark, _corpus(spark), store, cfg)
+    changed = _corpus(spark).withColumn(
+        "content",
+        F.when(
+            F.col("path") == "doc.txt",
+            F.lit("completely different wording about buffers caches"),
+        ).otherwise(F.col("content")),
+    )
+    m = run_insert(spark, changed, store, cfg)
+    assert m["docs_processed"] == 1  # only the hash-changed file
+
+
+def test_resume_from_checkpoint_converges(spark, store):
+    """F6: delete done rows for one partition, rerun -> only that
+    partition re-extracts and the final graph state is unchanged
+    (keyed-upsert idempotence)."""
+    cfg = PipelineConfig()
+    run_insert(spark, _corpus(spark), store, cfg)
+
+    def graph_state():
+        nodes = {
+            (r.entity_id, r.entity_type, tuple(r.descriptions),
+             tuple(r.source_ids))
+            for r in store.read("nodes").collect()
+        }
+        edges = {
+            (r.src, r.dst, r.weight, tuple(sorted(r.keywords)),
+             tuple(r.source_ids))
+            for r in store.read("edges").collect()
+        }
+        return nodes, edges
+
+    before = graph_state()
+
+    # simulate a lost partition: drop its checkpoint rows
+    ckpt = store.read("checkpoint")
+    store.overwrite(
+        "checkpoint", ckpt.filter(F.col("repo") != "example.com/web")
+    )
+    m = run_insert(spark, _corpus(spark), store, cfg)
+    assert m["docs_processed"] == 1  # only the dropped partition's doc
+
+    after = graph_state()
+    # weights for re-processed docs re-add per reference semantics
+    # (insert.go:595-615) — but node/edge KEYS and list fields converge.
+    assert {n[0] for n in after[0]} == {n[0] for n in before[0]}
+    assert {(e[0], e[1]) for e in after[1]} == {
+        (e[0], e[1]) for e in before[1]
+    }
+    # descriptions/source_ids stay deduped after re-run
+    nodes_after = {n[0]: n for n in after[0]}
+    nodes_before = {n[0]: n for n in before[0]}
+    for k in nodes_before:
+        assert nodes_after[k][2] == nodes_before[k][2]
+        assert nodes_after[k][3] == nodes_before[k][3]
+
+
+def test_checkpoint_lineage_and_metrics(spark, store):
+    run_insert(spark, _corpus(spark), store, PipelineConfig())
+    rows = {r.doc_id: r for r in store.read("checkpoint").collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r.status == "done"
+        assert r.partition_id == f"{r.repo}/{r.lang}"
+        assert len(r.content_sha) == 64
+        assert r.n_chunks >= 1
+        assert r.n_entities >= 0 and r.n_relationships >= 0
+    go_doc = rows["example.com/calc:add.go@c1"]
+    assert go_doc.n_chunks == 2  # header + func per the Go scanner
+
+
+def test_embeddings_written(spark, store):
+    run_insert(spark, _corpus(spark), store, PipelineConfig())
+    emb = store.read("embeddings")
+    kinds = {r.kind for r in emb.select("kind").distinct().collect()}
+    assert kinds == {"entity", "relationship"}
+    one = emb.limit(1).collect()[0]
+    assert len(one.vector) == 64

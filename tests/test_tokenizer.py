@@ -1,0 +1,44 @@
+"""Tokenizer contract tests (SURVEY.md §7 tokenizer-parity risk).
+
+The golden invariant pinned by the reference is
+``TokenSize == CountTokens(content)`` (default_test.go:115-130), which
+requires a self-consistent, lossless, slice-stable tokenizer.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgforge import tokenizer
+
+SAMPLES = [
+    "",
+    "hello world",
+    "This is a small text that should fit in a single chunk.",
+    "Special characters: 🚀 😊 üñîçødé\nNew lines\tTabs中文日本語",
+    "func Add(a, b int) int {\n\treturn a + b\n}",
+    "x_y_z = 123456; // comment",
+    "This sentence contains about nine tokens. " * 10,
+    "   leading and trailing   ",
+]
+
+
+def test_lossless_roundtrip():
+    for s in SAMPLES:
+        assert tokenizer.decode(tokenizer.encode(s)) == s
+
+
+def test_slice_decode_is_substring():
+    s = "This sentence contains about nine tokens. " * 20
+    toks = tokenizer.encode(s)
+    assert tokenizer.decode(toks[5:50]) in s
+
+
+def test_count_matches_encode():
+    for s in SAMPLES:
+        assert tokenizer.count_tokens(s) == len(tokenizer.encode(s))
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_lossless_property(s):
+    assert tokenizer.decode(tokenizer.encode(s)) == s
