@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "files_per_sec": ...}
+
+The headline is the full KG-construction pipeline (chunk -> extract ->
+canonicalize -> merge -> materialize), the BASELINE.json metric
+(triple-extraction throughput, files/sec).  Each query is fully
+materialized via the noop sink (no driver collect, no disk skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kgforge.session import build_session  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(
+        "kgforge-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from kgforge.pipeline import (
+        PipelineConfig,
+        build_graph,
+        documents_as_repos,
+        extract_mentions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_files = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: full pipeline, nodes + edges materialized
+    def kg_pipeline():
+        repos = documents_as_repos(docs)
+        chunks, _, ents, rels = extract_mentions(repos, PipelineConfig())
+        nodes, edges = build_graph(ents, rels)
+        materialize(nodes)
+        materialize(edges)
+
+    timed("kg_pipeline", kg_pipeline)
+
+    bench_queries = [
+        "kg_entities",
+        "kg_edges",
+        "kg_degrees",
+        "kg_top_edges",
+        "dedup_exact",
+        "doc_quality",
+        "language_id",
+        "token_stats",
+        "fingerprint",
+        "minhash_signatures",
+        "lsh_candidates",
+        "simhash",
+        "embedding_topk",
+        "knn_join",
+        "vector_lsh_topk",
+        "multimodal_decode",
+    ]
+    qmap = entrymod.queries()
+    for name in bench_queries:
+        timed(name, lambda n=name: materialize(qmap[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "kgforge headline: KG pipeline + operator suite "
+                    "wall time"
+                ),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "files_per_sec": round(
+                    n_files / timings["kg_pipeline"], 2
+                ),
+                "n_files": n_files,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Deterministic synthetic source-code corpus (BASELINE.json
+input_hint shape): ``repos(repo, path, commit, lang, content)``.
+
+Used by scaling benchmarks and skew tests.  Properties:
+
+- fully deterministic (content is a pure function of (repo, path));
+- one MEGA-REPO with ~10x the files of the others to exercise the
+  skew path (FIXTURES.md F1);
+- ``go`` files are real parseable Go (package/imports/consts/vars/
+  types/funcs assembled from a word pool) so the C2 scanner chunks
+  them into multiple declarations; ``text`` files exercise C1;
+- generated DISTRIBUTED: a range DataFrame -> content expressions,
+  so corpus size scales without driver memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+import pandas as pd
+
+WORDS = [
+    "spark", "shuffle", "partition", "vector", "column", "filter",
+    "window", "stream", "batch", "merge", "scan", "join", "hash",
+    "order", "table", "query", "index", "cache", "buffer", "codec",
+]
+
+GO_TMPL = """package {pkg}
+
+import (
+\t"fmt"
+\t"strings"
+)
+
+const (
+\tMax{W0} = {n0}
+\tMin{W1} = {n1}
+)
+
+var Default{W2} = "{w3}"
+
+type {W4}Config struct {{
+\t{W5} string
+\t{W6} int
+}}
+
+// {W7} processes the {w8} pipeline stage
+// combining {w9} and {w0} inputs.
+func {W7}(a, b int) int {{
+\treturn a*{n0} + b + len(strings.Repeat("{w1}", {n1}))
+}}
+
+func (c *{W4}Config) {W2}Name() string {{
+\treturn fmt.Sprintf("%s-%d", c.{W5}, c.{W6})
+}}
+"""
+
+
+def _content_for(repo: str, path: str, lang: str) -> str:
+    seed = int.from_bytes(
+        hashlib.md5(f"{repo}/{path}".encode()).digest()[:8], "little"
+    )
+    pick = lambda k: WORDS[(seed >> (k * 4)) % len(WORDS)]
+    w = [pick(k) for k in range(10)]
+    if lang == "go":
+        return GO_TMPL.format(
+            pkg=w[0],
+            W0=w[0].capitalize(), W1=w[1].capitalize(),
+            W2=w[2].capitalize(), W4=w[4].capitalize(),
+            W5=w[5].capitalize(), W6=w[6].capitalize(),
+            W7=w[7].capitalize(),
+            w0=w[0], w1=w[1], w3=w[3], w8=w[8], w9=w[9],
+            n0=2 + seed % 97, n1=1 + seed % 13,
+        )
+    # text file: ~40 sentences from the pool
+    sents = []
+    for s in range(40):
+        a, b, c = (
+            WORDS[(seed + s) % len(WORDS)],
+            WORDS[(seed + 3 * s + 1) % len(WORDS)],
+            WORDS[(seed + 7 * s + 2) % len(WORDS)],
+        )
+        sents.append(f"The {a} stage feeds the {b} operator into the {c} sink.")
+    return " ".join(sents)
+
+
+@pandas_udf(StringType())
+def _content_udf(repo: pd.Series, path: pd.Series, lang: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_content_for(r, p, lg) for r, p, lg in zip(repo, path, lang)]
+    )
+
+
+def synthesize_corpus(
+    spark: SparkSession,
+    n_files: int = 1000,
+    n_repos: int = 8,
+    mega_factor: int = 10,
+    go_ratio: float = 0.5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus. Repo 0 is the mega-repo: it
+    owns `mega_factor` shares of the file space while every other repo
+    owns one share (skewed partition sizes by construction)."""
+    shares = mega_factor + (n_repos - 1)
+    df = spark.range(
+        0, n_files, numPartitions=partitions or spark.sparkContext.defaultParallelism
+    )
+    share = (F.col("id") * shares / n_files).cast("int")
+    repo_idx = F.when(share < mega_factor, 0).otherwise(
+        share - (mega_factor - 1)
+    )
+    # Knuth-mix the id so lang doesn't correlate with repo boundaries
+    lang = F.when(
+        F.pmod(F.col("id") * F.lit(2654435761), F.lit(100))
+        < int(go_ratio * 100),
+        "go",
+    ).otherwise("text")
+    out = df.select(
+        F.concat(F.lit("example.com/repo"), repo_idx.cast("string")).alias(
+            "repo"
+        ),
+        F.concat(
+            F.lit("pkg/"), F.pmod("id", F.lit(37)).cast("string"),
+            F.lit("/file"), F.col("id").cast("string"),
+        ).alias("path_base"),
+        lang.alias("lang"),
+        F.lit("deadbeef").alias("commit"),
+    ).withColumn(
+        "path",
+        F.concat(
+            "path_base",
+            F.when(F.col("lang") == "go", ".go").otherwise(".txt"),
+        ),
+    ).drop("path_base")
+    return out.withColumn(
+        "content", _content_udf("repo", "path", "lang")
+    ).select("repo", "path", "commit", "lang", "content")

@@ -138,7 +138,7 @@ class FixtureExtractor:
 
 # Heuristic extractor parameters — keep in sync with HEURISTIC_*_SQL
 # in kgforge/oracles.py.
-HEURISTIC_MIN_WORD_LEN = 6
+HEURISTIC_MIN_WORD_LEN = 4
 HEURISTIC_MAX_PAIR_ENTITIES = 12
 _WORD_SPLIT_RE = re.compile(r"[^a-z]+")
 _HEURISTIC_TYPES = ["FUNCTION", "TYPE", "VARIABLE"]
@@ -147,7 +147,7 @@ _HEURISTIC_TYPES = ["FUNCTION", "TYPE", "VARIABLE"]
 def heuristic_extract(content: str) -> dict:
     """Deterministic SQL-expressible extractor.
 
-    entities: distinct lowercase-alpha words of length >=6 in the
+    entities: distinct lowercase-alpha words of length >=4 in the
     chunk; name = UPPER(word); type = by length mod 3 over
     FUNCTION/TYPE/VARIABLE; description = 'Entity ' || name.
 

@@ -1,0 +1,110 @@
+"""Multimodal asset plumbing: binary payload columns + typed metadata.
+
+Treats image/audio/video as opaque ``binary`` columns
+(ASSETS_SCHEMA) with decode / feature-extract / resize / frame-sample
+as ``mapInPandas`` stages.  The Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signatures — is real and tested;
+the actual codec work is STUBBED (this container ships no
+image/audio libraries): ``decode_stub`` raises NotImplementedError
+unless ``fake=True``, in which case it derives deterministic fake
+metadata/features from the payload bytes so pipelines are testable
+end-to-end.
+
+Scale notes: payloads never pass through Python row-at-a-time — each
+mapInPandas batch moves one Arrow record batch; feature outputs are
+fixed-width arrays so downstream similarity joins reuse
+kgforge.similarity unchanged.  Partition by (kind) and bucket large
+corpora by asset_id so decode stages are embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(asset_id: str, kind: str, payload: bytes):
+    """Deterministic fake decode: metadata + features from the md5 of
+    the payload.  Stands in for PIL/ffmpeg until real codecs plug in."""
+    digest = hashlib.md5(payload or b"").digest()
+    width = 16 + digest[0]
+    height = 16 + digest[1]
+    n_frames = 1 if kind == "image" else 1 + digest[2] % 64
+    rng = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+    feats = np.resize(rng, FEATURE_DIM) / 255.0
+    return width, height, n_frames, [float(x) for x in feats]
+
+
+def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas decode stage: (asset_id, kind, payload, ...) ->
+    DECODED_SCHEMA.  Real implementation would dispatch to
+    PIL/soundfile/ffmpeg per `kind`; see _fake_decode for the stub."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real codecs unavailable in this environment; "
+                    "run with fake=True or plug a decoder here"
+                )
+            rows = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                w, h, nf, feats = _fake_decode(asset_id, kind, payload)
+                rows.append((asset_id, kind, w, h, nf, feats))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "kind", "width", "height", "n_frames",
+                    "features",
+                ],
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        decode, DECODED_SCHEMA
+    )
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame sampling plan for video assets: one output row per kept
+    frame index — pure relational (sequence + explode), the decode of
+    individual frames happens in a later decode stage."""
+    from pyspark.sql import functions as F
+
+    return (
+        decoded.filter(F.col("kind") == "video")
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+                )
+            ).alias("frame_index"),
+        )
+    )

@@ -1,0 +1,300 @@
+"""DuckDB oracle SQL for the driver correctness gate.
+
+Every SQL string here replicates, in ANSI/DuckDB SQL over the
+pre-registered parquet views, exactly what the corresponding Spark
+query in __spark_entry__.py computes through the kgforge pipeline —
+same column names, same value semantics (hashing via md5/sha256 only,
+doubles rounded to 4 places where float paths differ).
+
+The KG oracle mirrors the full pipeline: single-chunk documents
+(all harness docs are far below the 1024-token chunk window, so
+chunk == trimmed doc), the heuristic extractor (words >= MIN_LEN),
+canonicalization, and the merge reduces.  Keep the constants in sync
+with kgforge.extraction.
+"""
+
+from __future__ import annotations
+
+from kgforge.extraction import (
+    HEURISTIC_MAX_PAIR_ENTITIES,
+    HEURISTIC_MIN_WORD_LEN,
+)
+from kgforge.textops import EN_STOPWORDS
+
+# Shared CTE prelude: documents -> doc ids, chunk ids, words, capped
+# entity sets and co-occurrence pairs (the heuristic extractor in SQL).
+KG_PRELUDE = f"""
+WITH docs AS (
+  SELECT source || ':' || CAST(doc_id AS VARCHAR) || '@HEAD' AS doc_id,
+         source || ':' || CAST(doc_id AS VARCHAR) || '@HEAD-chunk-0'
+           AS chunk_id,
+         text, lang, source
+  FROM documents
+),
+words AS (
+  SELECT chunk_id, doc_id, upper(w) AS entity_name, w AS word
+  FROM docs, unnest(list_distinct(list_filter(
+         string_split_regex(lower(text), '[^a-z]+'),
+         x -> x <> '' AND length(x) >= {HEURISTIC_MIN_WORD_LEN}
+       ))) AS t(w)
+),
+ents AS (
+  SELECT chunk_id, entity_name FROM words
+  QUALIFY row_number() OVER (PARTITION BY chunk_id ORDER BY entity_name)
+          <= {HEURISTIC_MAX_PAIR_ENTITIES}
+),
+pairs AS (
+  SELECT a.chunk_id, a.entity_name AS src, b.entity_name AS dst
+  FROM ents a JOIN ents b
+    ON a.chunk_id = b.chunk_id AND a.entity_name < b.entity_name
+),
+edges AS (
+  SELECT src, dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight,
+         'Entities ' || src || ' and ' || dst || ' co-occur'
+           AS description,
+         COUNT(DISTINCT chunk_id) AS n_sources
+  FROM pairs GROUP BY src, dst
+)
+"""
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+_TYPE_CASE = (
+    "CASE length(word) % 3 WHEN 0 THEN 'FUNCTION' WHEN 1 THEN 'TYPE' "
+    "ELSE 'VARIABLE' END"
+)
+
+_WORDS_EXPR = (
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+)
+
+
+def _minhash_sig_exprs(num_hashes: int = 16) -> str:
+    return ", ".join(
+        f"MIN(md5('{i}#' || shingle)) AS sig_{i}" for i in range(num_hashes)
+    )
+
+
+SHINGLES_CTE = f"""
+WITH w AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+),
+sh AS (
+  SELECT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+)
+"""
+
+
+def oracle_queries() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    q["kg_chunks"] = KG_PRELUDE + """
+SELECT chunk_id, doc_id, CAST(0 AS INTEGER) AS order_index,
+       trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS content,
+       sha256(text) AS content_sha
+FROM docs
+"""
+
+    q["kg_entities"] = KG_PRELUDE + f"""
+SELECT entity_name AS entity_id,
+       {_TYPE_CASE} AS entity_type,
+       'Entity ' || entity_name AS description,
+       COUNT(DISTINCT chunk_id) AS n_sources,
+       MIN(chunk_id) AS first_source,
+       MAX(chunk_id) AS last_source
+FROM words
+GROUP BY entity_name, {_TYPE_CASE}
+"""
+
+    q["kg_edges"] = KG_PRELUDE + """
+SELECT src, dst, weight, description, n_sources FROM edges
+"""
+
+    q["kg_degrees"] = KG_PRELUDE + """
+SELECT entity_id, COUNT(*) AS degree FROM (
+  SELECT src AS entity_id FROM edges
+  UNION ALL
+  SELECT dst AS entity_id FROM edges
+) GROUP BY entity_id
+"""
+
+    q["kg_top_edges"] = KG_PRELUDE + """
+SELECT src, dst, weight FROM edges
+ORDER BY weight DESC, src, dst LIMIT 20
+"""
+
+    q["kg_one_hop"] = KG_PRELUDE + """
+SELECT src, dst, weight FROM edges
+WHERE src = 'TABLE' OR dst = 'TABLE'
+"""
+
+    q["kg_ranked_sources"] = KG_PRELUDE + """
+SELECT chunk_id AS source_id, COUNT(*) AS ref_count
+FROM pairs WHERE src = 'SPARK' OR dst = 'SPARK'
+GROUP BY chunk_id
+"""
+
+    q["sha_gate"] = """
+SELECT source || ':' || CAST(doc_id AS VARCHAR) || '@HEAD' AS doc_id,
+       sha256(text) AS content_sha
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+    q["canonicalize"] = KG_PRELUDE + f"""
+SELECT DISTINCT entity_name,
+       CASE WHEN {_TYPE_CASE} IN ('FUNCTION', 'TYPE')
+            THEN {_TYPE_CASE} ELSE 'UNKNOWN' END AS entity_type
+FROM words
+"""
+
+    q["dedup_exact"] = """
+SELECT sha256(text) AS content_sha, COUNT(*) AS n_docs,
+       MIN(doc_id) AS representative
+FROM documents GROUP BY sha256(text)
+"""
+
+    q["doc_quality"] = f"""
+WITH base AS (
+  SELECT doc_id AS doc, text, {_WORDS_EXPR} AS ws FROM documents
+),
+feat AS (
+  SELECT doc,
+         length(text) AS n_chars,
+         len(ws) AS n_words,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct,
+         len(list_intersect(list_distinct(ws), {_STOP_LIST}))
+           AS n_stopwords,
+         CASE WHEN len(ws) > 0 THEN
+           CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+             / len(ws)
+         ELSE 0.0 END AS awl,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                AS DOUBLE) / length(text)
+         ELSE 0.0 END AS pr
+  FROM base
+)
+SELECT doc,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(n_words AS INTEGER) AS n_words,
+       round(awl, 4) AS avg_word_len,
+       round(pr, 4) AS punct_ratio,
+       CAST(n_stopwords AS INTEGER) AS n_stopwords,
+       round(least(n_words / 50.0, 1.0) * 0.5
+             + (1.0 - least(pr * 5, 1.0)) * 0.3
+             + least(n_stopwords / 5.0, 1.0) * 0.2, 4) AS quality_score
+FROM feat
+"""
+
+    q["language_id"] = f"""
+WITH base AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+)
+SELECT doc,
+       round(CASE WHEN len(ws) > 0 THEN
+         CAST(len(list_filter(ws, x -> list_contains({_STOP_LIST}, x)))
+              AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS en_stopword_ratio,
+       CASE WHEN (CASE WHEN len(ws) > 0 THEN
+         CAST(len(list_filter(ws, x -> list_contains({_STOP_LIST}, x)))
+              AS DOUBLE) / len(ws) ELSE 0.0 END) >= 0.02
+       THEN 'en' ELSE 'und' END AS lang_pred
+FROM base
+"""
+
+    q["token_stats"] = """
+SELECT doc_id AS doc,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+    q["fingerprint"] = """
+SELECT doc_id AS doc,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS fingerprint
+FROM documents
+"""
+
+    q["minhash_signatures"] = SHINGLES_CTE + f"""
+, sig AS (
+  SELECT doc, {_minhash_sig_exprs(16)} FROM sh GROUP BY doc
+)
+SELECT doc, {" || '|' || ".join(f"sig_{i}" for i in range(16))} AS sig
+FROM sig
+"""
+
+    band_exprs = ", ".join(
+        " || '|' || ".join(f"sig_{b * 4 + r}" for r in range(4))
+        + f" AS bucket_{b}"
+        for b in range(4)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, bucket_{b} AS bucket FROM sig"
+        for b in range(4)
+    )
+    q["lsh_candidates"] = SHINGLES_CTE + f"""
+, sig0 AS (
+  SELECT doc, {_minhash_sig_exprs(16)} FROM sh GROUP BY doc
+),
+sig AS (SELECT doc, {band_exprs} FROM sig0),
+bands AS ({band_union})
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+"""
+
+    q["ngram_jaccard"] = f"""
+WITH w AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+),
+sh AS (
+  SELECT doc, list_distinct(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM w WHERE len(ws) >= 3
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))),
+             4) AS jaccard
+FROM sh a JOIN sh b ON a.doc < b.doc
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+"""
+
+    q["embedding_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(CAST(list_cosine_similarity(embedding, (SELECT qv FROM q))
+             AS DOUBLE), 4) AS score
+FROM embeddings
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+    q["knn_join"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE),
+               4) AS score
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, neighbor_id, score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+    return q

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same results contract:
+
+- :func:`brute_force_topk` — exact cosine top-k via built-in
+  higher-order functions (zip_with/aggregate, JVM-side).  TakeOrdered
+  top-k: no global sort, k rows retained per partition.  The baseline
+  and the oracle-checkable path.
+- :func:`knn_join` — batch k-NN: every query vector against the
+  corpus; at test scale a broadcast of the (small) query side, scored
+  JVM-side, windowed row_number <= k.
+- :func:`lsh_bucket_topk` — the 100 TB path: deterministic
+  random-hyperplane LSH (signs of dot products against md5-seeded
+  hyperplanes) buckets vectors; candidates are scored only within the
+  query's bucket (and neighboring probes), turning a full scan into a
+  partition-pruned lookup.  Recall < 1 by construction — pair it with
+  brute force on the candidate set.
+- :func:`cosine_matmul_udf` — vectorized numpy batch scoring for wide
+  fan-out (many queries x many vectors) where per-element HOFs would
+  be slow: one Arrow batch -> one BLAS matmul.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def _dot(vec_col, qcol):
+    return F.aggregate(
+        F.zip_with(vec_col, qcol, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_score(vec_col, query: Sequence[float]):
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return _dot(vec_col, qcol) / (_norm(vec_col) * F.lit(qn))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, deterministic tie-break on id."""
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine_score(F.col(vec_col), query), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid_col: str = "vec_id",
+    qvec_col: str = "embedding",
+    cid_col: str = "vec_id",
+    cvec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN join: broadcast the query side, score every
+    (query, corpus) pair JVM-side, keep top-k per query via window.
+    At scale replace the crossJoin with lsh_bucket join on shared
+    bucket keys."""
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.col(qvec_col).alias("qvec"),
+        )
+    )
+    c = corpus.select(
+        F.col(cid_col).alias("neighbor_id"), F.col(cvec_col).alias("cvec")
+    )
+    dot = _dot(F.col("cvec"), F.col("qvec"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot / (_norm(F.col("cvec")) * _norm(F.col("qvec"))), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes seeded by md5 — no RNG
+    state, reproducible across executors and engines."""
+    planes = np.zeros((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}:{d}".encode()).digest()
+            planes[p, d] = (int.from_bytes(h[:8], "little") / 2**63) - 1.0
+    return planes
+
+
+def bucket_id_col(vec_col, dim: int, n_planes: int = 8):
+    """LSH bucket = sign bits against the deterministic hyperplanes,
+    packed into an int.  Pure column expression."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        pc = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = F.when(_dot(vec_col, pc) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH
+    bucket.  At 100 TB the corpus is written bucketed/partitioned by
+    this key, so the scan prunes to ~1/2^n_planes of the data."""
+    dim = len(query)
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(dim, n_planes)
+    qbucket = 0
+    for p in range(n_planes):
+        qbucket = qbucket * 2 + (1 if float(planes[p] @ q) > 0 else 0)
+    candidates = embeddings.withColumn(
+        "bucket", bucket_id_col(F.col(vec_col), dim, n_planes)
+    ).filter(F.col("bucket") == qbucket)
+    return brute_force_topk(candidates, query, k, id_col, vec_col)
+
+
+def make_cosine_matmul_udf(query_matrix: np.ndarray):
+    """Vectorized scorer: for each corpus vector, scores against ALL
+    query vectors in one numpy matmul per Arrow batch.  Returns
+    array<double> of len(query_matrix) per row."""
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmn = qm / qn
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            mat = np.stack(batch.map(np.asarray).values)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ qmn.T
+            yield pd.Series(list(sims.round(4)))
+
+    return score

@@ -1,0 +1,302 @@
+"""Training-data pipeline text operators over a documents corpus.
+
+Beyond the reference's own operators, a 100 TB training-data pipeline
+needs dedup / quality / language / tokenization passes.  All of these
+are expressed with built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — NO Python in the hot path — and, where hash
+parity allows, have exact DuckDB oracle equivalents (md5/sha256 are
+the portable hash functions; Spark's murmur `hash()` is not portable,
+so content-addressed hashing uses md5 hex).
+
+Operators:
+- exact_dedup            sha256 hash-groupBy duplicate clusters
+- shingles / minhash     k-shingle -> banded MinHash signatures (LSH)
+- lsh_candidate_pairs    band-bucket join -> candidate near-dup pairs
+- ngram_jaccard_pairs    exact n-gram Jaccard on candidate pairs
+- simhash64              64-bit SimHash over tokens (Spark-side)
+- doc_quality            length/punct/stopword quality features
+- language_id            stopword-ratio language heuristic
+- token_stats            whitespace + BPE-ish regex token counts
+- fingerprint            normalized-content rolling fingerprint (md5)
+
+Scale notes: every operator is one scan + (at most) one hash
+aggregation or one equi-join on a well-distributed key (hash prefixes
+are uniform); the LSH band join replaces the O(n^2) similarity join
+with groupBy(band, bucket) — the standard web-scale near-dup shape.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tiny English stopword list shared with the oracle SQL (kept literal
+# and sorted so both sides fold identically).
+EN_STOPWORDS: List[str] = [
+    "a", "and", "are", "for", "in", "is", "of", "on", "the", "to",
+    "was", "with",
+]
+
+WORD_SPLIT = "[^a-z]+"
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _words(col):
+    return F.filter(
+        F.split(F.lower(col), WORD_SPLIT), lambda w: w != ""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Exact duplicate clusters by sha256 — one hash aggregation.
+    Returns one row per distinct content with its cluster size and the
+    representative (min) id."""
+    return (
+        docs.select(
+            F.sha2(F.col(text_col), 256).alias("content_sha"),
+            F.col(id_col).alias("doc"),
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc").alias("representative"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, k: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """k-word shingles per doc (distinct). words -> sliding windows
+    via transform over indices (JVM-side, no UDF)."""
+    w = _words(F.col(text_col))
+    shingle_arr = F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc"), shingle_arr.alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_signature(
+    shingled: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature: hash_i(doc) = min over shingles of
+    md5(i || '#' || shingle) — lexicographic min over hex strings is a
+    valid uniform min-hash and is portable to any SQL engine.
+    Output: (doc, sig array<string>[num_hashes])."""
+    def hasher(prefix: str):
+        # single-arg lambda: a two-arg lambda would make Spark's
+        # transform() pass the array index as the second argument
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), hasher(f"{i}#")))
+            for i in range(num_hashes)
+        ]
+    )
+    return shingled.select("doc", sig.alias("sig"))
+
+
+def lsh_bands(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Split the signature into bands; bucket key = band index +
+    concatenated band slice.  Docs sharing any band bucket are
+    candidates."""
+    out = None
+    for b in range(bands):
+        band = signatures.select(
+            "doc",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            ).alias("bucket"),
+        )
+        out = band if out is None else out.unionByName(band)
+    return out
+
+
+def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Self-join within (band, bucket): the only shuffle keys are
+    uniform hash buckets, so the quadratic blowup is bounded per
+    bucket.  Returns distinct (doc_a < doc_b) candidate pairs."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity.  With ``candidates`` given
+    (LSH output) this verifies only candidate pairs — the scale path;
+    without, it compares all pairs (test scale only).
+    Jaccard via array_intersect/array_union sizes (JVM-side)."""
+    sh = shingles(docs, k, id_col, text_col)
+    a = sh.withColumnRenamed("doc", "doc_a").withColumnRenamed(
+        "shingles", "sh_a"
+    )
+    b = sh.withColumnRenamed("doc", "doc_b").withColumnRenamed(
+        "shingles", "sh_b"
+    )
+    if candidates is None:
+        joined = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """64-bit SimHash: per token md5 -> 64 bits; signed sum per bit;
+    sign -> fingerprint bits.  All higher-order functions, no UDF.
+    Near-dups differ in few bits (hamming distance)."""
+    n_bits = 60  # 15 hex chars -> 60 bits, fits a signed long
+    words = _words(F.col(text_col))
+    # token hash as a 60-bit bigint from the first 15 hex chars of md5
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
+
+    def bit_sum(mask: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
+    fingerprint = F.lit(0).cast("long")
+    for i in range(n_bits):
+        fingerprint = fingerprint + F.when(
+            bit_sum(1 << i) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return docs.select(
+        F.col(id_col).alias("doc"), fingerprint.alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_quality(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Quality features: length, word stats, punctuation and stopword
+    ratios, plus a composite quality score in [0,1]."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    avg_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ) / n_words,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    score = (
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(n_stop / F.lit(5.0), F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        n_chars.cast("int").alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        n_stop.cast("int").alias("n_stopwords"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Stopword-ratio language heuristic: share of tokens that are
+    English stopwords; >= 2% -> 'en' else 'und'.  (A real n-gram
+    model slots into the same shape; the operator contract — one scan,
+    one projection — is what matters at scale.)"""
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, w))
+    )
+    ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.round(ratio, 4).alias("en_stopword_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def token_stats(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (letter runs / digit runs / single punctuation)."""
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    )
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                      F.lit(BPE_ISH), 0))
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    content — the cheap content-addressing used for incremental
+    ingest and cross-snapshot lineage."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -235,6 +235,7 @@ def test_heuristic_extractor_deterministic():
     r2 = heuristic_extract("the quick brownfox jumped over lazydog fences")
     assert r1 == r2
     names = {e["entity_name"] for e in r1["entities"]}
-    assert names == {"BROWNFOX", "JUMPED", "LAZYDOG", "FENCES"}
+    assert names == {"QUICK", "BROWNFOX", "JUMPED", "OVER", "LAZYDOG",
+                     "FENCES"}
     for rel in r1["relationships"]:
         assert rel["source_entity"] < rel["target_entity"]

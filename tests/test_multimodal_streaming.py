@@ -1,0 +1,84 @@
+"""Tests for multimodal plumbing and incremental (streaming) ingest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.multimodal import FEATURE_DIM, decode_assets, frame_sample
+from kgforge.pipeline import PipelineConfig
+from kgforge.store import ParquetTableStore
+from kgforge.streaming import run_incremental_ingest
+
+
+@pytest.fixture()
+def assets(spark):
+    rows = [
+        ("a1", "image", b"\x89PNG fake bytes", "image/png", None, None, None),
+        ("a2", "video", b"\x00\x00ftyp fake", "video/mp4", None, None, None),
+        ("a3", "audio", b"RIFF fake", "audio/wav", None, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+
+
+def test_decode_stub_deterministic(spark, assets):
+    out1 = {r.asset_id: r for r in decode_assets(assets, fake=True).collect()}
+    out2 = {r.asset_id: r for r in decode_assets(assets, fake=True).collect()}
+    assert set(out1) == {"a1", "a2", "a3"}
+    for k in out1:
+        assert len(out1[k].features) == FEATURE_DIM
+        assert out1[k].features == out2[k].features  # deterministic
+    assert out1["a1"].n_frames == 1  # images are single-frame
+    assert out1["a2"].n_frames >= 1
+
+
+def test_decode_real_path_raises(spark, assets):
+    with pytest.raises(Exception, match="NotImplementedError|real codecs"):
+        decode_assets(assets, fake=False).collect()
+
+
+def test_frame_sample_plan(spark, assets):
+    decoded = decode_assets(assets, fake=True)
+    frames = frame_sample(decoded, every_n=8).collect()
+    vids = {r.asset_id for r in frames}
+    assert vids == {"a2"}
+    idx = sorted(r.frame_index for r in frames)
+    assert idx[0] == 0 and all(i % 8 == 0 for i in idx)
+
+
+def test_incremental_ingest_available_now(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    rows1 = [
+        ("r1", "a.txt", "c1", "text", "spark engines shuffle partitions"),
+    ]
+    df1 = spark.createDataFrame(
+        rows1,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    df1.write.mode("append").parquet(corpus_dir)
+
+    store = ParquetTableStore(spark, str(tmp_path / "tables"))
+    ckpt = str(tmp_path / "stream_ckpt")
+    m1 = run_incremental_ingest(spark, corpus_dir, store, ckpt)
+    assert sum(x["docs_processed"] for x in m1) == 1
+
+    # second activation with NO new files -> no work
+    m2 = run_incremental_ingest(spark, corpus_dir, store, ckpt)
+    assert sum(x.get("docs_processed", 0) for x in m2) == 0
+
+    # add a new file -> only it is processed
+    rows2 = [
+        ("r1", "b.txt", "c1", "text", "vectorized pipelines stream batches"),
+    ]
+    spark.createDataFrame(df1.rdd, df1.schema)  # no-op keep schema
+    spark.createDataFrame(
+        rows2,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    ).write.mode("append").parquet(corpus_dir)
+    m3 = run_incremental_ingest(spark, corpus_dir, store, ckpt)
+    assert sum(x["docs_processed"] for x in m3) == 1
+    assert store.read("checkpoint").count() == 2

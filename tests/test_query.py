@@ -1,0 +1,131 @@
+"""Query-path tests — port of query_test.go (FIXTURES.md F5).
+
+Seeded graph: ENTITY1/PERSON, ENTITY2/ORGANIZATION, one edge, one
+chunk; embeddings from the deterministic hash embedder so the query
+'Entity1' retrieves ENTITY1 (entity search) and the (ENTITY1,
+ENTITY2) edge (relationship search).
+"""
+
+import datetime as dt
+
+import pytest
+
+from kgforge import query as q
+from kgforge.embedding import MODEL_NAME, embed_text
+from kgforge.schemas import (
+    CHUNKS_SCHEMA,
+    EDGES_SCHEMA,
+    EMBEDDINGS_SCHEMA,
+    NODES_SCHEMA,
+)
+
+NOW = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [
+            ("ENTITY1", "PERSON", ["Description of Entity1"],
+             ["doc-1-chunk-0"], NOW),
+            ("ENTITY2", "ORGANIZATION", ["Description of Entity2"],
+             ["doc-1-chunk-0"], NOW),
+        ],
+        NODES_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [
+            ("ENTITY1", "ENTITY2", 1.0, ["Entity1 related to Entity2"],
+             ["RELATED_TO", "RELATED", "TO"], ["doc-1-chunk-0"], NOW),
+        ],
+        EDGES_SCHEMA,
+    )
+    chunks = spark.createDataFrame(
+        [
+            ("doc-1-chunk-0", "doc-1", None, "text", 0,
+             "Content about Entity1 and Entity2", 7, "x" * 64),
+        ],
+        CHUNKS_SCHEMA,
+    )
+    embeddings = spark.createDataFrame(
+        [
+            ("ENTITY1", "entity", "ENTITY1 Description of Entity1",
+             embed_text("ENTITY1 Description of Entity1"), MODEL_NAME, NOW),
+            ("ENTITY2", "entity", "ENTITY2 Description of Entity2",
+             embed_text("ENTITY2 Description of Entity2"), MODEL_NAME, NOW),
+            ("ENTITY1|ENTITY2", "relationship",
+             "RELATED_TO ENTITY1 ENTITY2",
+             embed_text("RELATED_TO ENTITY1 ENTITY2"), MODEL_NAME, NOW),
+        ],
+        EMBEDDINGS_SCHEMA,
+    )
+    return nodes, edges, chunks, embeddings
+
+
+def test_local_context(spark, graph):
+    nodes, edges, chunks, embeddings = graph
+    ents, rels, srcs = q.local_context(
+        "Entity1", nodes, edges, chunks, embeddings, k=1
+    )
+    e = ents.collect()
+    assert len(e) == 1 and e[0].name == "ENTITY1"
+    assert e[0].ref_count == 1  # degree of ENTITY1
+    r = rels.collect()
+    assert len(r) == 1 and (r[0].source, r[0].target) == (
+        "ENTITY1", "ENTITY2",
+    )
+    assert r[0].ref_count == 2  # deg(src)+deg(dst)
+    assert "RELATED_TO" in r[0].keywords
+    s = srcs.collect()
+    assert len(s) == 1 and s[0].content == "Content about Entity1 and Entity2"
+
+
+def test_global_context(spark, graph):
+    nodes, edges, chunks, embeddings = graph
+    ents, rels, srcs = q.global_context(
+        "related entities", nodes, edges, chunks, embeddings, k=1
+    )
+    r = rels.collect()
+    assert len(r) == 1
+    assert r[0].weight == 1.0
+    e = ents.collect()
+    assert {x.name for x in e} == {"ENTITY1", "ENTITY2"}
+    s = srcs.collect()
+    assert len(s) == 1 and s[0].ref_count == 1
+
+
+def test_empty_keywords_no_error(spark, graph):
+    nodes, edges, chunks, embeddings = graph
+    ents, rels, srcs = q.local_context(
+        "", nodes, edges, chunks, embeddings
+    )
+    assert ents.count() == 0 and rels.count() == 0 and srcs.count() == 0
+
+
+def test_render_csv_headers_and_order(spark, graph):
+    """query_test.go:310-451: pinned headers + ref_count-desc order."""
+    nodes, edges, chunks, embeddings = graph
+    res = q.query("Entity1", "related", nodes, edges, chunks, embeddings, 2)
+    out = q.render_query_result(res)
+    assert "-----Entities-----" in out
+    assert "id,name,type,description,ref_count,created_at" in out
+    assert (
+        "id,source,target,keywords,description,weight,ref_count,created_at"
+        in out
+    )
+    assert "id,content,ref_count" in out
+    # ref_count descending within the entities section
+    ent_section = out.split("-----Entities-----")[1].split(
+        "-----Relationships-----"
+    )[0]
+    refs = []
+    for line in ent_section.splitlines():
+        if line.startswith('"'):
+            refs.append(int(line.split('","')[-2].strip('"')))
+    assert refs == sorted(refs, reverse=True)
+
+
+def test_degrees_undirected(spark, graph):
+    _, edges, _, _ = graph
+    d = {r.entity_id: r.degree for r in q.degrees(edges).collect()}
+    assert d == {"ENTITY1": 1, "ENTITY2": 1}

@@ -1,0 +1,76 @@
+"""Tests for similarity search (brute force, kNN join, LSH, matmul UDF)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.normal(size=16)
+    for i in range(50):
+        if i < 5:
+            v = base + rng.normal(scale=0.01, size=16)  # near the base
+        else:
+            v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_finds_neighbors(spark, emb):
+    query = emb.filter(F.col("vec_id") == 0).head()[1]
+    top = similarity.brute_force_topk(emb, query, 5).collect()
+    ids = [r.id for r in top]
+    assert ids[0] == 0 and top[0].score == pytest.approx(1.0, abs=1e-3)
+    assert set(ids) == {0, 1, 2, 3, 4}  # the near-cluster
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_join(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = similarity.knn_join(queries, emb, 3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        assert rows[0].neighbor_id == qid  # self is the top hit
+        assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [
+            1, 2, 3,
+        ]
+
+
+def test_lsh_bucket_topk_contains_self(spark, emb):
+    query = emb.filter(F.col("vec_id") == 0).head()[1]
+    got = similarity.lsh_bucket_topk(emb, query, 10, n_planes=4).collect()
+    assert any(r.id == 0 for r in got)  # query's own bucket contains it
+    # candidates scored exactly like brute force
+    bf = {
+        r.id: r.score
+        for r in similarity.brute_force_topk(emb, query, 50).collect()
+    }
+    for r in got:
+        assert r.score == pytest.approx(bf[r.id], abs=1e-4)
+
+
+def test_cosine_matmul_udf_matches_hof(spark, emb):
+    queries = np.stack(
+        [np.asarray(r.embedding) for r in emb.filter(F.col("vec_id") < 3)
+         .orderBy("vec_id").collect()]
+    )
+    udf = similarity.make_cosine_matmul_udf(queries)
+    scored = emb.select("vec_id", udf(F.col("embedding")).alias("s")).collect()
+    hof = {
+        r.id: r.score
+        for r in similarity.brute_force_topk(
+            emb, [float(x) for x in queries[0]], 50
+        ).collect()
+    }
+    for r in scored:
+        assert r.s[0] == pytest.approx(hof[r.vec_id], abs=2e-4)

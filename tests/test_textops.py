@@ -1,0 +1,91 @@
+"""Tests for the training-data text operators (dedup, quality, etc.)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines and shuffles"),
+        (4, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    rows = {r.content_sha: r for r in textops.exact_dedup(docs).collect()}
+    dup_sha = hashlib.sha256(
+        b"the quick brown fox jumps over the lazy dog"
+    ).hexdigest()
+    assert rows[dup_sha].n_docs == 2
+    assert rows[dup_sha].representative == 0
+    assert len(rows) == 4  # 5 docs, one pair collapsed
+
+
+def test_shingles_and_minhash_identical_docs_same_sig(spark, docs):
+    sig = textops.minhash_signature(textops.shingles(docs), 8)
+    got = {r.doc: tuple(r.sig) for r in sig.collect()}
+    assert got[0] == got[1]  # identical docs -> identical signature
+    assert got[0] != got[3]
+    assert 4 not in got  # "short" has < 3 words -> no shingles
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    sig = textops.minhash_signature(textops.shingles(docs), 16)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in textops.lsh_candidate_pairs(
+            textops.lsh_bands(sig, 4, 4)
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides on every band
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.ngram_jaccard_pairs(docs, 3, 0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dup_low_hamming(spark, docs):
+    got = {r.doc: r.simhash for r in textops.simhash64(docs).collect()}
+    assert got[0] == got[1]
+    ham_near = bin(got[0] ^ got[2]).count("1")
+    ham_far = bin(got[0] ^ got[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_doc_quality_features(spark, docs):
+    q = {r.doc: r for r in textops.doc_quality(docs).collect()}
+    assert q[0].n_words == 9
+    assert q[0].n_stopwords >= 1  # "the"
+    assert 0.0 <= q[0].quality_score <= 1.0
+    assert q[4].n_words == 1
+
+
+def test_language_id(spark, docs):
+    lid = {r.doc: r for r in textops.language_id(docs).collect()}
+    assert lid[0].lang_pred == "en"  # 2x "the" + "over" in 9 words
+    assert lid[4].lang_pred == "und"
+
+
+def test_token_stats_and_fingerprint(spark, docs):
+    ts = {r.doc: r for r in textops.token_stats(docs).collect()}
+    assert ts[0].ws_tokens == 9
+    fp = {r.doc: r.fingerprint for r in textops.fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    # fingerprint is md5 of normalized text
+    norm = "the quick brown fox jumps over the lazy dog"
+    assert fp[0] == hashlib.md5(norm.encode()).hexdigest()

@@ -1,0 +1,96 @@
+"""Scaling-efficiency evidence (BASELINE.md): run the IDENTICAL KG
+pipeline job at local[8] and local[32] on the same input, report
+throughput at both and efficiency = (throughput_32 / throughput_8) / 4.
+
+Each measurement runs in a fresh subprocess (fresh JVM) so the two
+parallelism levels don't share a warmed executor.  Results are
+appended to BENCH.md.
+
+Usage: python tools/bench_scaling.py [n_files] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+cpus = sys.argv[1]
+n_files = int(sys.argv[2])
+from kgforge.session import build_session
+from kgforge.corpus import synthesize_corpus
+from kgforge.pipeline import PipelineConfig, build_graph, extract_mentions
+
+spark = build_session("scaling", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+spark.sparkContext.setLogLevel("ERROR")
+corpus = synthesize_corpus(spark, n_files=n_files,
+                           partitions=int(cpus) * 4)
+corpus = corpus.persist()
+n = corpus.count()  # materialize input OUTSIDE the timed section
+
+t0 = time.perf_counter()
+chunks, _, ents, rels = extract_mentions(corpus, PipelineConfig())
+nodes, edges = build_graph(ents, rels)
+nodes.write.format("noop").mode("overwrite").save()
+edges.write.format("noop").mode("overwrite").save()
+elapsed = time.perf_counter() - t0
+print(json.dumps({"cpus": int(cpus), "n_files": n,
+                  "elapsed_sec": round(elapsed, 2),
+                  "files_per_sec": round(n / elapsed, 2)}))
+"""
+
+
+def run_one(cpus: int, n_files: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(n_files)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    results = {8: [], 32: []}
+    for _ in range(repeats):
+        for cpus in (8, 32):
+            r = run_one(cpus, n_files)
+            results[cpus].append(r)
+            print(r)
+    best8 = max(x["files_per_sec"] for x in results[8])
+    best32 = max(x["files_per_sec"] for x in results[32])
+    eff = (best32 / best8) / 4
+    summary = {
+        "n_files": n_files,
+        "throughput_local8_files_per_sec": best8,
+        "throughput_local32_files_per_sec": best32,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n## Scaling run (n_files={n_files})\n\n"
+            f"| cores | elapsed (s) | files/sec |\n|---|---|---|\n"
+        )
+        for cpus in (8, 32):
+            for r in results[cpus]:
+                f.write(
+                    f"| local[{cpus}] | {r['elapsed_sec']} "
+                    f"| {r['files_per_sec']} |\n"
+                )
+        f.write(
+            f"\nscaling efficiency (8->32 cores) = "
+            f"({best32:.1f}/{best8:.1f})/4 = **{eff:.3f}** "
+            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

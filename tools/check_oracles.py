@@ -1,0 +1,88 @@
+"""Driver-style correctness harness: run every __spark_entry__ query
+on Spark AND its DuckDB oracle, compare row count, sorted-column
+schema, and an order-insensitive value hash.  Mirrors what the
+round driver records in CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kgforge.session import build_session  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(
+        df.astype(str).apply(lambda r: "\x1f".join(r), axis=1).tolist()
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    spark = build_session("oracle-check", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in entrymod.queries().items():
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:22s} spark error: {exc}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name:22s} rows={len(sdf)} (no oracle)")
+            continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:22s} duckdb error: {exc}")
+            failures += 1
+            continue
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = scols == ocols
+        ok_hash = ok_rows and ok_cols and value_hash(sdf) == value_hash(odf)
+        status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{status}  {name:22s} rows {len(sdf)}/{len(odf)} "
+            f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} "
+            f"hash={'=' if ok_hash else 'MISMATCH'}"
+        )
+        if not ok_hash and ok_rows and ok_cols and len(sdf) > 0:
+            s = sdf.reindex(sorted(sdf.columns), axis=1)
+            o = odf.reindex(sorted(odf.columns), axis=1)
+            key = sorted(sdf.columns)[0]
+            s = s.sort_values(list(s.columns)).reset_index(drop=True)
+            o = o.sort_values(list(o.columns)).reset_index(drop=True)
+            diff = (s.astype(str) != o.astype(str)).any(axis=1)
+            if diff.any():
+                i = diff.idxmax()
+                print("    spark :", s.iloc[i].to_dict())
+                print("    duckdb:", o.iloc[i].to_dict())
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
