@@ -29,12 +29,21 @@ from kgforge.query import degrees
 from kgforge.schemas import SEP
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file parquet arrives as one split; spread it so narrow
+    stages parallelize (a real corpus has many splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _mentions(spark: SparkSession, sf_dir: str):
@@ -170,14 +179,14 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    sh = textops.shingles(_docs(spark, sf_dir))
-    sig = textops.minhash_signature(sh, 16)
+    sh = textops.shingle_rows(_docs(spark, sf_dir))
+    sig = textops.minhash_signature_rows(sh, 16)
     return sig.select("doc", F.concat_ws("|", "sig").alias("sig"))
 
 
 def q_lsh_candidates(spark, sf_dir):
-    sh = textops.shingles(_docs(spark, sf_dir))
-    sig = textops.minhash_signature(sh, 16)
+    sh = textops.shingle_rows(_docs(spark, sf_dir))
+    sig = textops.minhash_signature_rows(sh, 16)
     return textops.lsh_candidate_pairs(textops.lsh_bands(sig, 4, 4))
 
 

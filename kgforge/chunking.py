@@ -80,12 +80,16 @@ def make_chunker_udf(
 
     @pandas_udf(CHUNK_ARRAY_TYPE)
     def chunker(lang: pd.Series, content: pd.Series) -> pd.Series:
+        from kgforge.markdown import chunk_markdown
+
         results = []
         for lg, text in zip(lang, content):
             text = "" if text is None else text.strip().replace("\x00", "")
             try:
                 if lg == "go":
                     chunks = chunk_go(text)
+                elif lg in ("markdown", "md"):
+                    chunks = chunk_markdown(text)
                 else:
                     chunks = chunk_default(text, max_tokens, overlap_tokens)
                 results.append(

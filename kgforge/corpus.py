@@ -30,6 +30,25 @@ WORDS = [
     "order", "table", "query", "index", "cache", "buffer", "codec",
 ]
 
+# Suffix syllables give the corpus a realistic identifier cardinality
+# (~5k distinct stems instead of 20).  A 20-word vocabulary makes the
+# final per-entity reduce degenerate — 20 hot keys own every mention —
+# which no engine can parallelize; real code corpora have millions of
+# identifiers.
+_SUF1 = ["", "er", "ion", "ment", "ward", "most", "ize", "ish",
+         "ful", "less", "ness", "able", "ous", "ive", "al", "ic"]
+_SUF2 = ["", "beta", "core", "lite", "max", "neo", "pro", "ultra",
+         "flux", "grid", "node", "zone", "rank", "sync", "wave", "mesh"]
+
+
+def _ident(i: int) -> str:
+    """Deterministic identifier: word + two suffix syllables."""
+    return (
+        WORDS[i % len(WORDS)]
+        + _SUF1[(i // len(WORDS)) % len(_SUF1)]
+        + _SUF2[(i // (len(WORDS) * len(_SUF1))) % len(_SUF2)]
+    )
+
 GO_TMPL = """package {pkg}
 
 import (
@@ -61,14 +80,17 @@ func (c *{W4}Config) {W2}Name() string {{
 """
 
 
+TEXT_SENTENCES = 150  # ~7.5 KB ≈ multiple 1024-token chunks
+
+
 def _content_for(repo: str, path: str, lang: str) -> str:
     seed = int.from_bytes(
         hashlib.md5(f"{repo}/{path}".encode()).digest()[:8], "little"
     )
-    pick = lambda k: WORDS[(seed >> (k * 4)) % len(WORDS)]
+    pick = lambda k: _ident((seed >> (k * 3)) % 5120)
     w = [pick(k) for k in range(10)]
     if lang == "go":
-        return GO_TMPL.format(
+        body = GO_TMPL.format(
             pkg=w[0],
             W0=w[0].capitalize(), W1=w[1].capitalize(),
             W2=w[2].capitalize(), W4=w[4].capitalize(),
@@ -77,14 +99,22 @@ def _content_for(repo: str, path: str, lang: str) -> str:
             w0=w[0], w1=w[1], w3=w[3], w8=w[8], w9=w[9],
             n0=2 + seed % 97, n1=1 + seed % 13,
         )
-    # text file: ~40 sentences from the pool
+        # a few extra top-level funcs so files chunk into many decls
+        for i in range(3):
+            a, b = w[(i + 1) % 10], w[(i + 5) % 10]
+            body += (
+                f"\n\n// {a.capitalize()}{b.capitalize()} derives the"
+                f" {a} metric from {b} samples.\n"
+                f"func {a.capitalize()}{b.capitalize()}{i}(x int) int {{\n"
+                f"\treturn x * {2 + (seed >> i) % 31}\n}}"
+            )
+        return body
+    # text file: TEXT_SENTENCES sentences over the identifier space
     sents = []
-    for s in range(40):
-        a, b, c = (
-            WORDS[(seed + s) % len(WORDS)],
-            WORDS[(seed + 3 * s + 1) % len(WORDS)],
-            WORDS[(seed + 7 * s + 2) % len(WORDS)],
-        )
+    for s in range(TEXT_SENTENCES):
+        a = _ident((seed + s * 7919) % 5120)
+        b = _ident((seed + s * 104729 + 13) % 5120)
+        c = _ident((seed + s * 1299709 + 29) % 5120)
         sents.append(f"The {a} stage feeds the {b} operator into the {c} sink.")
     return " ".join(sents)
 

@@ -1,0 +1,222 @@
+"""LLM-backed extraction client: prompts, retry/backoff, glean loop.
+
+Re-expresses the reference's LLM plumbing (NOT a port — original
+prompt text, same slot structure and control flow):
+
+- prompt data model: Goal / EntityTypes / Language / Examples / Input
+  (rag.go EntityExtractionPromptData, prompt.go:8-46);
+- ``llmExtractEntities`` control flow (insert.go:298-452): extract
+  prompt -> chat -> strip backticks/think tags -> JSON repair ->
+  parse; GLEAN loop appending to history, re-parsing, asking a
+  continue-prompt and stopping unless the answer is exactly "yes"
+  (insert.go:385-446); retry with fixed backoff up to max_retries
+  (X2, insert.go:326-336);
+- ``descriptionsSummary`` prompt slot (insert.go:692-723);
+- keyword extraction for the query path (query.go:111-148).
+
+The chat callable is pluggable (the reference's ``LLM`` interface,
+rag.go:15-20): tests use deterministic/flaky mocks; production plugs
+an HTTP client.  Inside Spark this whole object lives per-executor in
+the extraction pandas UDF (one session per worker, batched calls) —
+see :func:`kgforge.extraction.make_extraction_udf`'s ``EXTRACTORS``
+registry for how an instance becomes the pipeline extractor.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+from kgforge.extraction import parse_llm_result
+
+ChatFn = Callable[[List[str]], str]
+
+
+@dataclass
+class ExtractionPromptData:
+    """Slot structure mirroring EntityExtractionPromptData."""
+
+    goal: str = (
+        "Identify the entities and the relationships between them in "
+        "the input text."
+    )
+    entity_types: Sequence[str] = field(default_factory=lambda: [
+        "organization", "person", "geo", "event", "category",
+    ])
+    language: str = "English"
+    examples: Sequence[dict] = field(default_factory=list)
+
+
+def render_extract_prompt(data: ExtractionPromptData, text: str) -> str:
+    """Extraction prompt with the reference's slots (prompt.go:71-156)."""
+    examples = ""
+    for i, ex in enumerate(data.examples):
+        examples += (
+            f"\nExample {i + 1}:\nText:\n{ex.get('text', '')}\n"
+            f"Output:\n{json.dumps(ex.get('output', {}))}\n"
+        )
+    types = ", ".join(data.entity_types)
+    return (
+        f"---Goal---\n{data.goal}\n"
+        f"Allowed entity types: [{types}]. Use language: {data.language}.\n"
+        "Return ONLY a JSON object of the form\n"
+        '{"entities": [{"entity_name", "entity_type", '
+        '"entity_description"}], '
+        '"relationships": [{"source_entity", "target_entity", '
+        '"relationship_description", "relationship_keywords", '
+        '"relationship_strength"}]}.\n'
+        f"---Examples---{examples}\n"
+        f"---Input---\n{text}\n"
+    )
+
+
+def render_glean_prompt(data: ExtractionPromptData) -> str:
+    """Glean prompt (prompt.go:158-202): ask for missed entities."""
+    return (
+        "Some entities or relationships may have been missed in the "
+        "previous extraction. Add ONLY the missing ones, in the same "
+        "JSON format."
+    )
+
+
+GLEAN_DECIDE_PROMPT = (
+    "Were any entities or relationships missed? Answer with a single "
+    'word: "yes" or "no".'
+)  # prompt.go:204-211
+
+
+def render_summary_prompt(
+    name: str, descriptions: Sequence[str], language: str = "English"
+) -> str:
+    """Summarize-descriptions prompt (prompt.go:213-227)."""
+    return (
+        f"Summarize the following descriptions of {name} into one "
+        f"comprehensive description, in {language}:\n"
+        f"[{', '.join(descriptions)}]"
+    )
+
+
+def render_keyword_prompt(query: str, history: str = "", goal: str = "",
+                          examples: Sequence[dict] = ()) -> str:
+    """Keyword-extraction prompt (prompt.go:229-270): returns JSON
+    {high_level_keywords, low_level_keywords}."""
+    goal = goal or (
+        "Extract high-level (thematic) and low-level (specific) "
+        "keywords from the query."
+    )
+    ex = "".join(
+        f"\nQuery: {e.get('query')}\nOutput: "
+        + json.dumps(
+            {
+                "high_level_keywords": e.get("high", []),
+                "low_level_keywords": e.get("low", []),
+            }
+        )
+        for e in examples
+    )
+    return (
+        f"---Goal---\n{goal}\nReturn ONLY JSON "
+        '{"high_level_keywords": [...], "low_level_keywords": [...]}.'
+        f"\n---Examples---{ex}\n---History---\n{history}\n"
+        f"---Query---\n{query}\n"
+    )
+
+
+class LLMExtractor:
+    """Per-worker extraction session with retry + glean, usable as a
+    pipeline extractor (``EXTRACTORS['llm'] = lambda: LLMExtractor(chat)``).
+    """
+
+    def __init__(
+        self,
+        chat: ChatFn,
+        prompt_data: Optional[ExtractionPromptData] = None,
+        max_retries: int = 3,
+        backoff_seconds: float = 1.0,
+        glean_count: int = 0,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.chat = chat
+        self.prompt_data = prompt_data or ExtractionPromptData()
+        self.max_retries = max_retries
+        self.backoff_seconds = backoff_seconds
+        self.glean_count = glean_count
+        self.sleep = sleep
+
+    class _Retryable(Exception):
+        pass
+
+    def __call__(self, content: str) -> dict:
+        """Extract entities/relationships; mirrors llmExtractEntities
+        (insert.go:298-452) including retry + glean."""
+        extract_prompt = render_extract_prompt(self.prompt_data, content)
+        glean_prompt = render_glean_prompt(self.prompt_data)
+        retry = 0
+        while retry < self.max_retries:
+            if retry > 0:
+                self.sleep(self.backoff_seconds)
+            try:
+                return self._attempt(extract_prompt, glean_prompt)
+            except Exception:  # noqa: BLE001 — any chat/parse failure retries
+                retry += 1
+        raise RuntimeError(
+            f"failed to extract entities after {retry} retries"
+        )
+
+    def _attempt(self, extract_prompt: str, glean_prompt: str) -> dict:
+        histories = [extract_prompt]
+        raw = self.chat(histories)  # chat error -> retry (caller)
+        parsed = parse_llm_result(raw)
+        if (
+            not parsed["entities"]
+            and not parsed["relationships"]
+            and '"entities"' not in raw
+        ):
+            raise LLMExtractor._Retryable("unparseable extraction")
+        entities = list(parsed["entities"])
+        relationships = list(parsed["relationships"])
+        histories.append(raw)
+
+        # Glean loop (insert.go:385-446): the reference always runs at
+        # least one glean pass; it continues past glean_count only
+        # never (gleanCount > max -> break) and past each round only
+        # on an explicit "yes" from the decide prompt.
+        gleans = 0
+        while True:
+            histories.append(glean_prompt)
+            g_raw = self.chat(histories)
+            g = parse_llm_result(g_raw)
+            entities.extend(g["entities"])
+            relationships.extend(g["relationships"])
+            histories.append(g_raw)
+            gleans += 1
+            if gleans > self.glean_count:
+                break
+            decide = self.chat(histories + [GLEAN_DECIDE_PROMPT])
+            if decide.strip().strip('"').strip("'").lower() != "yes":
+                break
+        return {"entities": entities, "relationships": relationships}
+
+
+def extract_keywords(chat: ChatFn, query: str, history: str = "") -> dict:
+    """Q2 keyword extraction (query.go:111-148): chat -> cleanup ->
+    parse {high_level_keywords, low_level_keywords}."""
+    raw = chat([render_keyword_prompt(query, history)])
+    cleaned = raw.replace("\\", "")
+    from kgforge.extraction import (
+        remove_markdown_backticks,
+        remove_think_tags,
+        repair_json,
+    )
+
+    cleaned = remove_markdown_backticks(remove_think_tags(cleaned))
+    try:
+        parsed = json.loads(repair_json(cleaned))
+    except (json.JSONDecodeError, ValueError):
+        return {"high_level_keywords": [], "low_level_keywords": []}
+    return {
+        "high_level_keywords": parsed.get("high_level_keywords") or [],
+        "low_level_keywords": parsed.get("low_level_keywords") or [],
+    }

@@ -1,0 +1,209 @@
+"""C4: Markdown-aware chunker (SURVEY.md §2.3).
+
+Behavioral contract from the reference's MarkdownAst handler
+(/root/reference/handler/markdown.go:121-1071, tests
+markdown_test.go):
+
+- heading-delimited sections, heading kept with its section;
+- a section within ``max_chunk_size`` chars -> one chunk; otherwise
+  split by paragraphs (blank lines), then sentences (punctuation
+  boundaries with decimal/abbreviation guards), then words;
+- fenced code blocks and tables are ATOMIC: never split internally
+  (markdown.go protects them);
+- chunks that carry no actual content (markdown syntax only) are
+  filtered (hasActualContent, markdown.go:930-987);
+- ``order_index`` is the chunk's character start position in the
+  document (markdown.go:1036-1071), so ordering by it reconstructs
+  document order even though indexes are not consecutive.
+
+Spark usage: same pandas-UDF + posexplode shape as C1/C2 — register
+``lang='markdown'`` dispatch in kgforge.chunking.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from kgforge.tokenizer import count_tokens
+
+DEFAULT_MAX_CHUNK_SIZE = 1200  # chars, markdown.go default
+
+_HEADING_RE = re.compile(r"^#{1,6}\s")
+_ABBREV = ("e.g.", "i.e.", "etc.", "dr.", "mr.", "mrs.", "ms.", "vs.")
+_CONTENT_RE = re.compile(r"[A-Za-z0-9À-￿]")
+
+
+def _blocks_with_offsets(text: str) -> List[Tuple[int, str, str]]:
+    """Split into (offset, kind, block) where kind ∈
+    {heading, code, table, para}; code/table are atomic."""
+    lines = text.split("\n")
+    blocks: List[Tuple[int, str, str]] = []
+    offset = 0
+    cur: List[str] = []
+    cur_off = 0
+    cur_kind = "para"
+
+    def flush():
+        nonlocal cur
+        if cur:
+            body = "\n".join(cur)
+            if body.strip():
+                blocks.append((cur_off, cur_kind, body))
+            cur = []
+
+    in_code = False
+    for line in lines:
+        line_len = len(line) + 1
+        stripped = line.strip()
+        if in_code:
+            cur.append(line)
+            if stripped.startswith("```"):
+                in_code = False
+                flush()
+                cur_kind = "para"
+        elif stripped.startswith("```"):
+            flush()
+            cur_off, cur_kind, in_code = offset, "code", True
+            cur.append(line)
+        elif _HEADING_RE.match(line):
+            flush()
+            blocks.append((offset, "heading", line))
+            cur_kind = "para"
+        elif stripped.startswith("|"):
+            if cur_kind != "table":
+                flush()
+                cur_off, cur_kind = offset, "table"
+            cur.append(line)
+        elif not stripped:
+            flush()
+            cur_kind = "para"
+        else:
+            if cur_kind != "para":
+                flush()
+                cur_kind = "para"
+            if not cur:
+                cur_off = offset
+            cur.append(line)
+        offset += line_len
+    if in_code or cur:
+        flush()
+    return blocks
+
+
+def _split_sentences(text: str) -> List[str]:
+    """Sentence boundaries at [.!?]+ followed by whitespace, guarding
+    decimals (3.14) and common abbreviations (markdown.go:755-875)."""
+    out: List[str] = []
+    start = 0
+    for m in re.finditer(r"[.!?]+(\s+|$)", text):
+        end = m.end()
+        before = text[max(0, m.start() - 8): m.start() + 1].lower()
+        nxt = text[end: end + 1]
+        if m.start() > 0 and text[m.start() - 1].isdigit() and nxt.isdigit():
+            continue  # decimal like 3.14
+        if any(before.endswith(a) for a in _ABBREV):
+            continue
+        out.append(text[start:end].strip())
+        start = end
+    if start < len(text) and text[start:].strip():
+        out.append(text[start:].strip())
+    return [s for s in out if s]
+
+
+def _split_words(text: str, max_size: int) -> List[str]:
+    out, cur = [], ""
+    for w in text.split():
+        if cur and len(cur) + 1 + len(w) > max_size:
+            out.append(cur)
+            cur = w
+        else:
+            cur = f"{cur} {w}" if cur else w
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _has_actual_content(text: str) -> bool:
+    """hasActualContent (markdown.go:930-987): at least one
+    alphanumeric char outside markdown syntax."""
+    no_syntax = re.sub(r"[#>*\-`|_\[\]()!+=\s]", "", text)
+    return bool(_CONTENT_RE.search(no_syntax))
+
+
+def chunk_markdown(
+    content: str,
+    max_chunk_size: int = DEFAULT_MAX_CHUNK_SIZE,
+    overlap_chars: int = 0,
+) -> List[Tuple[str, int, int]]:
+    """Chunk markdown; returns [(content, token_size, order_index)]
+    with order_index = char start position."""
+    if not content or not content.strip():
+        return []
+    blocks = _blocks_with_offsets(content)
+
+    # group blocks into heading-delimited sections
+    sections: List[List[Tuple[int, str, str]]] = []
+    cur_sec: List[Tuple[int, str, str]] = []
+    for b in blocks:
+        if b[1] == "heading" and cur_sec:
+            sections.append(cur_sec)
+            cur_sec = [b]
+        else:
+            cur_sec.append(b)
+    if cur_sec:
+        sections.append(cur_sec)
+
+    chunks: List[Tuple[str, int]] = []  # (content, start_pos)
+    for sec in sections:
+        sec_text = "\n\n".join(b[2] for b in sec)
+        sec_start = sec[0][0]
+        if len(sec_text) <= max_chunk_size:
+            chunks.append((sec_text, sec_start))
+            continue
+        # pack blocks greedily; paragraphs may split further
+        pending: List[Tuple[int, str, str]] = []
+        for off, kind, body in sec:
+            if kind in ("code", "table", "heading") or (
+                len(body) <= max_chunk_size
+            ):
+                pending.append((off, kind, body))
+                continue
+            # oversize paragraph -> sentences -> words
+            pieces = _split_sentences(body)
+            pieces = [
+                p2
+                for p in pieces
+                for p2 in (
+                    [p] if len(p) <= max_chunk_size
+                    else _split_words(p, max_chunk_size)
+                )
+            ]
+            run = 0
+            for p in pieces:
+                pending.append((off + run, "para", p))
+                run += len(p) + 1
+        cur_parts: List[Tuple[int, str]] = []
+        cur_len = 0
+        for off, kind, body in pending:
+            if cur_parts and cur_len + len(body) + 2 > max_chunk_size:
+                text = "\n\n".join(p[1] for p in cur_parts)
+                chunks.append((text, cur_parts[0][0]))
+                if overlap_chars > 0:
+                    tail = text[-overlap_chars:]
+                    cur_parts = [(cur_parts[-1][0], tail)]
+                    cur_len = len(tail)
+                else:
+                    cur_parts, cur_len = [], 0
+            cur_parts.append((off, body))
+            cur_len += len(body) + 2
+        if cur_parts:
+            chunks.append(
+                ("\n\n".join(p[1] for p in cur_parts), cur_parts[0][0])
+            )
+
+    return [
+        (text, count_tokens(text), start)
+        for text, start in chunks
+        if _has_actual_content(text)
+    ]

@@ -15,25 +15,32 @@ Reference semantics (/root/reference/insert.go:499-690), per key:
   placeholder UNKNOWN nodes for dangling endpoints (insert.go:625-663);
   upsert edge.
 
-Spark shape — built for skew (north rule: salted keys for mega-repos):
-every append-unique list is computed as a TWO-LEVEL aggregation:
-``groupBy(key, element)`` (map-side partial combine spreads a hot key
-across all its distinct elements) followed by ``groupBy(key)``
-collecting only the distinct survivors, ordered deterministically by
-first occurrence.  The additive weight and modal-type counts get
-map-side partial aggregation from Spark's hash aggregate for free.
-The reference's sequential read-modify-write race (SURVEY §3.1 hazard)
-disappears: one associative reduce per key.
+Physical shape — exactly TWO shuffles per key space, skew-aware:
 
-Existing table state enters the same reduce as pseudo-mentions with
-priority 0 (sorts before all new mentions), reproducing the
-"existing first, then new-unique" order of the reference.
+1. tall projection: each mention row explodes into (key, kind,
+   value, ord, weight) legs — kind ∈ {type, desc, sid, kw} — a narrow
+   map stage;
+2. PRE-AGGREGATION ``groupBy(key, kind, value)``: dedup + counts +
+   min-order + weight partial sums.  This is the salting step: a hot
+   entity key is spread over all its distinct (kind, value) combos and
+   Spark's hash aggregate adds map-side combine on top, so no single
+   reducer sees the raw mention stream;
+3. FINAL ``groupBy(key)``: assembles the modal type
+   (sort by (-count, value) — lexicographic tie-break), the
+   first-occurrence-ordered distinct description/keyword lists, the
+   sorted source_id set, and the additive weight.
+
+The reference's sequential read-modify-write race (SURVEY §3.1
+hazard) disappears: one associative reduce per key.  Existing table
+state enters the same reduce as pseudo-mention legs with priority 0
+(sorting before all new mentions), reproducing the "existing first,
+then new-unique" order of the reference.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-from typing import Callable, Optional
+from typing import Callable, List, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -45,6 +52,8 @@ from kgforge import tokenizer
 from kgforge.schemas import SEP
 
 DEFAULT_MAX_SUMMARY_TOKENS = 1200  # default.go:44
+
+_EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 
 def mock_summarize(name: str, descriptions: list) -> str:
@@ -63,29 +72,94 @@ def mock_summarize(name: str, descriptions: list) -> str:
     return "Summary of " + name + ": " + SEP.join(kept)
 
 
-def _first_occurrence_list(df, key_cols, elem_col, order_col, out_name):
-    """Append-unique (appendIfUnique, rag.go:230-235) as a two-level
-    agg: distinct per (key, elem) with its earliest order, then
-    collect sorted by first occurrence."""
-    distinct = df.groupBy(*key_cols, elem_col).agg(
-        F.min(order_col).alias("_first")
-    )
-    return distinct.groupBy(*key_cols).agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_first"), F.col(elem_col)))
-            ),
-            lambda s: s[elem_col],
-        ).alias(out_name)
+def _tall_legs(
+    df: DataFrame,
+    key_cols: List[str],
+    legs: List,  # list of (kind, value_col, ord_col)
+    weight_col=None,
+    created_col=None,
+) -> DataFrame:
+    """Explode one row into its (kind, value, ord) legs; weight and
+    created_at ride on the FIRST leg only so sums/mins stay exact."""
+    structs = []
+    for i, (kind, value, ordc) in enumerate(legs):
+        structs.append(
+            F.struct(
+                F.lit(kind).alias("kind"),
+                value.cast("string").alias("value"),
+                ordc.cast("string").alias("ord"),
+                (
+                    weight_col
+                    if (weight_col is not None and i == 0)
+                    else F.lit(None).cast("double")
+                ).alias("w"),
+                (
+                    created_col
+                    if (created_col is not None and i == 0)
+                    else F.lit(None).cast("timestamp")
+                ).alias("c"),
+            )
+        )
+    return df.select(
+        *key_cols, F.explode(F.array(*structs)).alias("leg")
+    ).select(
+        *key_cols,
+        F.col("leg.kind").alias("kind"),
+        F.col("leg.value").alias("value"),
+        F.col("leg.ord").alias("ord"),
+        F.col("leg.w").alias("w"),
+        F.col("leg.c").alias("c"),
     )
 
 
-def _with_priority_order(df, priority: int):
-    """Prefix order keys so existing rows (priority 0) sort before new
-    mentions (priority 1), matching the reference's merge order."""
-    return df.withColumn(
-        "order_key",
-        F.concat_ws("|", F.lit(str(priority)), F.col("order_key")),
+def _reduce_tall(tall: DataFrame, key_cols: List[str]) -> DataFrame:
+    """The two-shuffle reduce over tall legs (see module docstring)."""
+    pre = tall.groupBy(*key_cols, "kind", "value").agg(
+        F.min("ord").alias("ord"),
+        F.count(F.when(F.col("kind") == "type", 1)).alias("cnt"),
+        F.sum("w").alias("w"),
+        F.min("c").alias("c"),
+    )
+
+    def ordered_list(kind: str):
+        return F.array_distinct(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col("kind") == kind)
+                            & F.col("value").isNotNull(),
+                            F.struct(F.col("ord"), F.col("value")),
+                        )
+                    )
+                ),
+                lambda s: s["value"],
+            )
+        )
+
+    modal_type = F.element_at(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    (F.col("kind") == "type") & F.col("value").isNotNull(),
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("value")
+                    ),
+                )
+            )
+        ),
+        1,
+    )["value"]
+
+    return pre.groupBy(*key_cols).agg(
+        modal_type.alias("entity_type"),
+        ordered_list("desc").alias("descriptions"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("kind") == "sid", F.col("value")))
+        ).alias("source_ids"),
+        ordered_list("kw").alias("keywords"),
+        F.sum("w").alias("weight"),
+        F.min("c").alias("created_at"),
     )
 
 
@@ -99,97 +173,77 @@ def aggregate_entities(
     mentions: entity_name, entity_type, description, chunk_id,
     order_key.  existing_nodes: NODES_SCHEMA.
     """
-    now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
-    new = _with_priority_order(
-        mentions.select(
-            F.col("entity_name").alias("entity_id"),
-            "entity_type",
-            "description",
-            F.col("chunk_id").alias("source_id"),
-            "order_key",
-        ),
-        1,
-    ).withColumn("created_at", F.lit(now))
-
-    parts = [new]
+    now = now or _EPOCH
+    new = mentions.select(
+        F.col("entity_name").alias("entity_id"),
+        "entity_type",
+        "description",
+        F.col("chunk_id").alias("source_id"),
+        F.concat_ws("|", F.lit("1"), F.col("order_key")).alias("ord"),
+    )
+    tall = _tall_legs(
+        new,
+        ["entity_id"],
+        [
+            ("type", F.col("entity_type"), F.lit("")),
+            ("desc", F.col("description"), F.col("ord")),
+            ("sid", F.col("source_id"), F.lit("")),
+        ],
+        created_col=F.lit(now),
+    )
     if existing_nodes is not None:
-        # Existing node -> pseudo-mentions (insert.go:518-527), one
-        # union leg per field so multiplicities stay exact: the type
-        # counts ONCE per node; each stored description keeps its
-        # array position as order; each source_id appears once.
-        nulls = {
-            "entity_type": F.lit(None).cast("string"),
-            "description": F.lit(None).cast("string"),
-            "source_id": F.lit(None).cast("string"),
-        }
-        ex_type = existing_nodes.select(
+        # Existing node -> pseudo-mention legs (insert.go:518-527):
+        # its type counts ONCE; each stored description keeps its array
+        # position (priority 0 sorts before new); source_ids once each.
+        ex = existing_nodes.select(
             "entity_id",
             "entity_type",
-            nulls["description"].alias("description"),
-            nulls["source_id"].alias("source_id"),
-            F.lit("000000000").alias("order_key"),
+            F.col("descriptions"),
+            F.col("source_ids"),
             "created_at",
         )
-        ex_descs = existing_nodes.select(
-            "entity_id",
-            nulls["entity_type"].alias("entity_type"),
-            F.posexplode_outer("descriptions").alias("_i", "description"),
-            "created_at",
-        ).select(
-            "entity_id",
-            "entity_type",
-            "description",
-            nulls["source_id"].alias("source_id"),
-            F.lpad(F.col("_i").cast("string"), 9, "0").alias("order_key"),
-            "created_at",
+        ex_type = _tall_legs(
+            ex,
+            ["entity_id"],
+            [("type", F.col("entity_type"), F.lit(""))],
+            created_col=F.col("created_at"),
         )
-        ex_sids = existing_nodes.select(
-            "entity_id",
-            nulls["entity_type"].alias("entity_type"),
-            nulls["description"].alias("description"),
-            F.explode_outer("source_ids").alias("source_id"),
-            F.lit("000000000").alias("order_key"),
-            "created_at",
+        ex_desc = _tall_legs(
+            ex.select(
+                "entity_id",
+                F.posexplode_outer("descriptions").alias("_i", "d"),
+            ).filter(F.col("d").isNotNull()),
+            ["entity_id"],
+            [
+                (
+                    "desc",
+                    F.col("d"),
+                    F.concat_ws(
+                        "|",
+                        F.lit("0"),
+                        F.lpad(F.col("_i").cast("string"), 9, "0"),
+                    ),
+                )
+            ],
         )
-        for leg in (ex_type, ex_descs, ex_sids):
-            parts.append(_with_priority_order(leg, 0))
+        ex_sid = _tall_legs(
+            ex.select(
+                "entity_id", F.explode_outer("source_ids").alias("s")
+            ).filter(F.col("s").isNotNull()),
+            ["entity_id"],
+            [("sid", F.col("s"), F.lit(""))],
+        )
+        tall = tall.unionByName(ex_type).unionByName(ex_desc).unionByName(
+            ex_sid
+        )
 
-    all_mentions = parts[0]
-    for p in parts[1:]:
-        all_mentions = all_mentions.unionByName(p)
-
-    # -- modal type with lexicographic tie-break (E6) --
-    type_counts = (
-        all_mentions.filter(F.col("entity_type").isNotNull())
-        .groupBy("entity_id", "entity_type")
-        .count()
-    )
-    w = Window.partitionBy("entity_id").orderBy(
-        F.desc("count"), F.asc("entity_type")
-    )
-    modal_type = (
-        type_counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("entity_id", "entity_type")
-    )
-
-    descs = _first_occurrence_list(
-        all_mentions.filter(F.col("description").isNotNull()),
-        ["entity_id"], "description", "order_key", "descriptions",
-    )
-    sids = (
-        all_mentions.filter(F.col("source_id").isNotNull())
-        .groupBy("entity_id")
-        .agg(F.array_sort(F.collect_set("source_id")).alias("source_ids"))
-    )
-    created = all_mentions.groupBy("entity_id").agg(
-        F.min("created_at").alias("created_at")
-    )
-
-    return (
-        modal_type.join(descs, "entity_id")
-        .join(sids, "entity_id")
-        .join(created, "entity_id")
+    out = _reduce_tall(tall, ["entity_id"])
+    return out.select(
+        "entity_id",
+        "entity_type",
+        "descriptions",
+        "source_ids",
+        "created_at",
     )
 
 
@@ -199,120 +253,120 @@ def aggregate_relationships(
     now: Optional[dt.datetime] = None,
 ) -> DataFrame:
     """E4b: relationship mentions (+ existing edges) -> merged edges."""
-    now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
-    new = _with_priority_order(
-        mentions.select(
-            "src",
-            "dst",
-            "weight",
-            "description",
-            "keywords",
-            F.col("chunk_id").alias("source_id"),
-            "order_key",
-        ),
-        1,
-    ).withColumn("created_at", F.lit(now))
-
-    parts = [new]
-    if existing_edges is not None:
-        # One union leg per field (see aggregate_entities): weight
-        # counts once per existing edge (insert.go:595-596);
-        # descriptions keep array position; keywords keep array
-        # position; source_ids appear once each.
-        def _leg(cols):
-            return existing_edges.select(
-                "src", "dst", *cols, "created_at"
-            )
-
-        snull = F.lit(None).cast("string")
-        anull = F.lit(None).cast("array<string>")
-        ex_weight = _leg(
-            [
-                F.col("weight"),
-                snull.alias("description"),
-                anull.alias("keywords"),
-                snull.alias("source_id"),
-                F.lit("000000000").alias("order_key"),
-            ]
-        )
-        ex_descs = existing_edges.select(
-            "src",
-            "dst",
-            F.lit(0.0).alias("weight"),
-            F.posexplode_outer("descriptions").alias("_i", "description"),
-            "created_at",
-        ).select(
-            "src",
-            "dst",
-            "weight",
-            "description",
-            anull.alias("keywords"),
-            snull.alias("source_id"),
-            F.lpad(F.col("_i").cast("string"), 9, "0").alias("order_key"),
-            "created_at",
-        )
-        ex_kws = existing_edges.select(
-            "src",
-            "dst",
-            F.lit(0.0).alias("weight"),
-            snull.alias("description"),
-            F.posexplode_outer("keywords").alias("_i", "kw"),
-            "created_at",
-        ).select(
-            "src",
-            "dst",
-            "weight",
-            "description",
-            F.array("kw").alias("keywords"),
-            snull.alias("source_id"),
-            F.lpad(F.col("_i").cast("string"), 9, "0").alias("order_key"),
-            "created_at",
-        )
-        ex_sids = _leg(
-            [
-                F.lit(0.0).alias("weight"),
-                snull.alias("description"),
-                anull.alias("keywords"),
-                F.explode_outer("source_ids").alias("source_id"),
-                F.lit("000000000").alias("order_key"),
-            ]
-        )
-        for leg in (ex_weight, ex_descs, ex_kws, ex_sids):
-            parts.append(_with_priority_order(leg, 0))
-
-    all_m = parts[0]
-    for p in parts[1:]:
-        all_m = all_m.unionByName(p)
-
+    now = now or _EPOCH
     keys = ["src", "dst"]
-    weights = all_m.groupBy(*keys).agg(
-        F.sum("weight").alias("weight"),
-        F.min("created_at").alias("created_at"),
+    new = mentions.select(
+        "src",
+        "dst",
+        "weight",
+        "description",
+        F.coalesce("keywords", F.array().cast("array<string>")).alias(
+            "keywords"
+        ),
+        F.col("chunk_id").alias("source_id"),
+        F.concat_ws("|", F.lit("1"), F.col("order_key")).alias("ord"),
     )
-    descs = _first_occurrence_list(
-        all_m.filter(F.col("description").isNotNull()),
-        keys, "description", "order_key", "descriptions",
-    )
-    kws = _first_occurrence_list(
-        all_m.select(
-            *keys, "order_key", F.explode_outer("keywords").alias("kw")
-        ).filter(F.col("kw").isNotNull()),
-        keys, "kw", "order_key", "keywords",
-    )
-    sids = (
-        all_m.filter(F.col("source_id").isNotNull())
-        .groupBy(*keys)
-        .agg(F.array_sort(F.collect_set("source_id")).alias("source_ids"))
-    )
-
-    return (
-        weights.join(descs, keys)
-        .join(kws, keys, "left")
-        .join(sids, keys)
-        .withColumn(
-            "keywords",
-            F.coalesce(F.col("keywords"), F.array().cast("array<string>")),
+    # keyword legs need per-element rows; explode keywords with their
+    # within-mention position appended to the order key
+    new_kw = new.select(
+        *keys,
+        F.posexplode_outer("keywords").alias("_k", "kw"),
+        "ord",
+    ).filter(F.col("kw").isNotNull())
+    tall = _tall_legs(
+        new,
+        keys,
+        [
+            ("desc", F.col("description"), F.col("ord")),
+            ("sid", F.col("source_id"), F.lit("")),
+        ],
+        weight_col=F.col("weight"),
+        created_col=F.lit(now),
+    ).unionByName(
+        _tall_legs(
+            new_kw,
+            keys,
+            [
+                (
+                    "kw",
+                    F.col("kw"),
+                    F.concat_ws(
+                        "|",
+                        F.col("ord"),
+                        F.lpad(F.col("_k").cast("string"), 4, "0"),
+                    ),
+                )
+            ],
         )
+    )
+    if existing_edges is not None:
+        ex = existing_edges
+        ex_w = _tall_legs(
+            ex.select(*keys, "weight", "created_at"),
+            keys,
+            [("w0", F.lit(None), F.lit(""))],
+            weight_col=F.col("weight"),
+            created_col=F.col("created_at"),
+        )
+        ex_desc = _tall_legs(
+            ex.select(
+                *keys, F.posexplode_outer("descriptions").alias("_i", "d")
+            ).filter(F.col("d").isNotNull()),
+            keys,
+            [
+                (
+                    "desc",
+                    F.col("d"),
+                    F.concat_ws(
+                        "|",
+                        F.lit("0"),
+                        F.lpad(F.col("_i").cast("string"), 9, "0"),
+                    ),
+                )
+            ],
+        )
+        ex_kw = _tall_legs(
+            ex.select(
+                *keys, F.posexplode_outer("keywords").alias("_i", "k")
+            ).filter(F.col("k").isNotNull()),
+            keys,
+            [
+                (
+                    "kw",
+                    F.col("k"),
+                    F.concat_ws(
+                        "|",
+                        F.lit("0"),
+                        F.lpad(F.col("_i").cast("string"), 9, "0"),
+                    ),
+                )
+            ],
+        )
+        ex_sid = _tall_legs(
+            ex.select(
+                *keys, F.explode_outer("source_ids").alias("s")
+            ).filter(F.col("s").isNotNull()),
+            keys,
+            [("sid", F.col("s"), F.lit(""))],
+        )
+        tall = (
+            tall.unionByName(ex_w)
+            .unionByName(ex_desc)
+            .unionByName(ex_kw)
+            .unionByName(ex_sid)
+        )
+
+    out = _reduce_tall(tall, keys)
+    return out.select(
+        "src",
+        "dst",
+        F.coalesce("weight", F.lit(0.0)).alias("weight"),
+        "descriptions",
+        F.coalesce("keywords", F.array().cast("array<string>")).alias(
+            "keywords"
+        ),
+        "source_ids",
+        "created_at",
     )
 
 
@@ -327,8 +381,7 @@ def apply_description_summary(
 
     Token counting + summarization run in one Arrow-batched pandas UDF
     over the already-aggregated rows (one row per entity/edge — tiny
-    relative to mentions).  Rows under the limit keep their arrays;
-    Catalyst's when/otherwise prunes the common path.
+    relative to mentions).  Rows under the limit keep their arrays.
     """
 
     @pandas_udf(ArrayType(StringType()))
@@ -357,7 +410,7 @@ def placeholder_nodes(
     (insert.go:625-663).  Left-anti join of edge endpoints vs nodes;
     deterministic pick: the lexicographically first incident edge
     supplies description/source_id."""
-    now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    now = now or _EPOCH
     endpoints = edges.select(
         F.explode(F.array("src", "dst")).alias("entity_id"),
         F.col("descriptions"),

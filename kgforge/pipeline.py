@@ -54,6 +54,11 @@ class PipelineConfig:
     chunk_overlap_tokens: int = 128
     max_summary_tokens: int = mrg.DEFAULT_MAX_SUMMARY_TOKENS
     with_embeddings: bool = True
+    # observe()-based metrics piggyback counts on write actions (one
+    # fewer job each) but the observation listener never fires for
+    # actions run inside a streaming foreachBatch — the streaming
+    # path disables them and falls back to count().
+    use_observations: bool = True
     now: dt.datetime = field(
         default_factory=lambda: dt.datetime(
             2024, 1, 1, tzinfo=dt.timezone.utc
@@ -65,14 +70,24 @@ def documents_as_repos(docs: DataFrame) -> DataFrame:
     """Adapt the harness ``documents`` table (doc_id, text, lang,
     source, n_chars) to the BASELINE.json input_hint corpus shape
     (repo, path, commit, lang, content) — source plays repo, doc_id
-    plays path, commit is fixed."""
-    return docs.select(
+    plays path, commit is fixed.
+
+    Normalizes parallelism: the harness tables are single parquet
+    files (one input split), which would serialize every downstream
+    narrow stage (chunker/extractor UDFs).  A real 100 TB corpus
+    arrives in many splits; here we repartition up to the session's
+    parallelism when the source is under-split."""
+    out = docs.select(
         F.col("source").alias("repo"),
         F.col("doc_id").cast("string").alias("path"),
         F.lit("HEAD").alias("commit"),
         F.col("lang").alias("lang"),
         F.col("text").alias("content"),
     )
+    target = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target:
+        out = out.repartition(target)
+    return out
 
 
 def extract_mentions(
@@ -95,8 +110,24 @@ def build_graph(
     existing_nodes: Optional[DataFrame] = None,
     existing_edges: Optional[DataFrame] = None,
     config: Optional[PipelineConfig] = None,
+    known_node_ids: Optional[DataFrame] = None,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Mentions -> merged (nodes, edges) incl. placeholders + summary."""
+    """Mentions -> merged (nodes, edges) incl. placeholders + summary.
+
+    Incremental-scale contract: callers should pass ``existing_nodes``
+    / ``existing_edges`` ALREADY RESTRICTED (left-semi) to the keys
+    present in the new mentions — untouched graph rows then never
+    enter the reduce or get rewritten.  ``known_node_ids`` must cover
+    ALL node ids in the store (touched or not) so the dangling-
+    endpoint check (insert.go:625-663) doesn't re-create placeholders
+    for entities that already exist untouched.
+
+    ``persist=True`` caches the merged frames before the placeholder
+    anti-join fans the DAG out — without it the whole mention lineage
+    (two chained Python UDF stages) is re-evaluated per consumer,
+    which measurably compounds per plan layer.
+    """
     config = config or PipelineConfig()
     nodes = mrg.aggregate_entities(
         ent_mentions, existing_nodes, now=config.now
@@ -112,7 +143,13 @@ def build_graph(
         "src",  # reference summarizes under the composite key; name only feeds the prompt
         config.max_summary_tokens,
     )
-    placeholders = mrg.placeholder_nodes(edges, nodes, now=config.now)
+    if persist:
+        nodes = nodes.persist()
+        edges = edges.persist()
+    known = nodes.select("entity_id")
+    if known_node_ids is not None:
+        known = known.unionByName(known_node_ids.select("entity_id"))
+    placeholders = mrg.placeholder_nodes(edges, known, now=config.now)
     nodes = nodes.unionByName(placeholders)
     return nodes, edges
 
@@ -168,8 +205,9 @@ def run_insert(
     # One deterministic pass over the pending docs; cache since the
     # DAG fans out into chunks/entities/edges/metrics.
     todo = todo.persist()
-    n_total = repos_ids.count()
     n_todo = todo.count()
+    # without a checkpoint the gate is a no-op: skip the second scan
+    n_total = repos_ids.count() if existing_ckpt is not None else n_todo
     if n_todo == 0:
         todo.unpersist()
         return {
@@ -186,24 +224,67 @@ def run_insert(
     rels = rels.persist()
 
     store.upsert("chunks", chunks, ["chunk_id"])
-    if rejects.limit(1).count() > 0:
-        store.upsert(
-            "rejects",
-            rejects.withColumn("status", F.lit("go-parse-error")),
-            ["doc_id"],
+    # Rejects via anti-join of go docs vs produced chunks: avoids
+    # re-running the chunker UDF lineage a second time just to find
+    # the null rows.  (A parsed .go file always yields >= 1 chunk.)
+    go_docs = todo.filter(F.col("lang") == "go").select(
+        "doc_id", "repo", "lang", "content_sha",
+        F.col("path"), F.col("commit"),
+    )
+    rejected = go_docs.join(
+        chunks.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).withColumn("status", F.lit("go-parse-error"))
+    store.upsert("rejects", rejected, ["doc_id"])
+
+    # Incremental merge: only graph rows whose key appears in the new
+    # mentions enter the reduce (left-semi restriction).  Untouched
+    # rows stay in place via the keyed upsert — at 10^12-file scale a
+    # delta run re-aggregates only its own keys instead of the world.
+    existing_nodes = store.read("nodes")
+    existing_edges = store.read("edges")
+    known_node_ids = None
+    if existing_nodes is not None:
+        known_node_ids = existing_nodes.select("entity_id")
+        touched_ents = ents.select(
+            F.col("entity_name").alias("entity_id")
+        ).distinct()
+        existing_nodes = existing_nodes.join(
+            touched_ents, "entity_id", "left_semi"
+        )
+    if existing_edges is not None:
+        touched_pairs = rels.select("src", "dst").distinct()
+        existing_edges = existing_edges.join(
+            touched_pairs, ["src", "dst"], "left_semi"
         )
 
     nodes, edges = build_graph(
         ents,
         rels,
-        existing_nodes=store.read("nodes"),
-        existing_edges=store.read("edges"),
+        existing_nodes=existing_nodes,
+        existing_edges=existing_edges,
         config=config,
+        known_node_ids=known_node_ids,
+        persist=True,
     )
+    # Ride row-count metrics on the write actions (observe) instead of
+    # separate count() jobs — the driver-side serial job count is the
+    # Amdahl floor of small-scale runs.
+    from pyspark.sql import Observation
+
+    use_obs = config.use_observations
+    obs_nodes, obs_edges = Observation(), Observation()
     nodes = nodes.persist()
     edges = edges.persist()
-    store.upsert("nodes", nodes, ["entity_id"])
-    store.upsert("edges", edges, ["src", "dst"])
+    nodes_w = (
+        nodes.observe(obs_nodes, F.count(F.lit(1)).alias("n"))
+        if use_obs else nodes
+    )
+    edges_w = (
+        edges.observe(obs_edges, F.count(F.lit(1)).alias("n"))
+        if use_obs else edges
+    )
+    store.upsert("nodes", nodes_w, ["entity_id"])
+    store.upsert("edges", edges_w, ["src", "dst"])
 
     if config.with_embeddings:
         store.upsert("embeddings", embedding_rows(nodes, edges), ["id", "kind"])
@@ -211,24 +292,31 @@ def run_insert(
     # checkpoint: lineage + per-doc metrics
     docs = todo.select("doc_id", "repo", "lang", "content_sha")
     chunk_counts = chunks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ent_counts = ents.groupBy("doc_id").agg(
-        F.countDistinct("entity_name").alias("n")
-    )
-    rel_counts = rels.groupBy("doc_id").agg(
-        F.countDistinct("src", "dst").alias("n")
-    )
+    # mention counts (not distinct): map-side-combining counts are an
+    # order of magnitude cheaper than countDistinct shuffles and serve
+    # the same lineage/metrics purpose
+    ent_counts = ents.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rel_counts = rels.groupBy("doc_id").agg(F.count("*").alias("n"))
     ckpt_rows = ckpt.build_checkpoint_rows(
         docs, chunk_counts, ent_counts, rel_counts, now=config.now
     )
-    store.upsert("checkpoint", ckpt_rows, ["doc_id"])
+    obs_ckpt = Observation()
+    ckpt_w = (
+        ckpt_rows.observe(obs_ckpt, F.sum("n_chunks").alias("n_chunks"))
+        if use_obs else ckpt_rows
+    )
+    store.upsert("checkpoint", ckpt_w, ["doc_id"])
 
     metrics = {
         "docs_total": n_total,
         "docs_processed": n_todo,
         "docs_skipped": n_total - n_todo,
-        "n_chunks": chunks.count(),
-        "n_nodes": nodes.count(),
-        "n_edges": edges.count(),
+        "n_chunks": (
+            int(obs_ckpt.get["n_chunks"] or 0)
+            if use_obs else chunks.count()
+        ),
+        "n_nodes": int(obs_nodes.get["n"]) if use_obs else nodes.count(),
+        "n_edges": int(obs_edges.get["n"]) if use_obs else edges.count(),
     }
     for df in (todo, chunks, ents, rels, nodes, edges):
         df.unpersist()

@@ -1,0 +1,98 @@
+"""C3: Semantic (LLM-proposed-span) chunker (SURVEY.md §2.3).
+
+Reference: handler/semantic.go:63-214 — an LLM proposes
+``{section_summary, start, end}`` character spans; the handler
+validates/clips spans and skips empties; documents above a token
+threshold are pre-chunked with C1 and each piece is semantically
+chunked with ``order_index = i*100 + j``; a span that itself exceeds
+the max token size is re-chunked with C1 (overlap min(max/4, 20));
+an empty proposal falls back to C1 entirely.
+
+The proposer is pluggable (LLM in production); the deterministic
+default proposes paragraph boundaries so tests are hermetic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+from kgforge import tokenizer
+from kgforge.chunking import chunk_default
+
+TOKEN_THRESHOLD = 8000  # semantic.go pre-chunk threshold
+SpanProposer = Callable[[str], List[dict]]
+
+
+def paragraph_proposer(text: str) -> List[dict]:
+    """Deterministic stand-in for the LLM: one span per blank-line
+    paragraph."""
+    spans = []
+    start = 0
+    pos = 0
+    for para in text.split("\n\n"):
+        end = pos + len(para)
+        if para.strip():
+            spans.append(
+                {"section_summary": para.strip()[:40], "start": start,
+                 "end": end}
+            )
+        pos = end + 2
+        start = pos
+    return spans
+
+
+def _validate_spans(text: str, spans: List[dict]) -> List[dict]:
+    """Clip spans to the document and drop empties
+    (semantic.go:155-166)."""
+    out = []
+    for s in spans:
+        start = max(0, int(s.get("start", 0)))
+        end = min(len(text), int(s.get("end", 0)))
+        if end <= start:
+            continue
+        if not text[start:end].strip():
+            continue
+        out.append({"start": start, "end": end})
+    return out
+
+
+def chunk_semantic(
+    content: str,
+    proposer: SpanProposer = paragraph_proposer,
+    max_tokens: int = 1024,
+) -> List[Tuple[str, int, int]]:
+    """Semantic chunking with C1 fallbacks; returns
+    [(content, token_size, order_index)]."""
+    if not content:
+        return []
+    n_tokens = tokenizer.count_tokens(content)
+    if n_tokens > TOKEN_THRESHOLD:
+        # pre-chunk with C1, semantic per piece, order = i*100 + j
+        pieces = chunk_default(content, max_tokens, 0)
+        out: List[Tuple[str, int, int]] = []
+        for i, (piece, _, _) in enumerate(pieces):
+            for j, (c, t, _) in enumerate(
+                chunk_semantic(piece, proposer, max_tokens)
+            ):
+                out.append((c, t, i * 100 + j))
+        return out
+
+    spans = _validate_spans(content, proposer(content))
+    if not spans:
+        return chunk_default(content, max_tokens)  # empty -> C1 fallback
+
+    overlap = min(max_tokens // 4, 20)
+    chunks: List[Tuple[str, int, int]] = []
+    order = 0
+    for span in spans:
+        text = content[span["start"]: span["end"]].strip()
+        size = tokenizer.count_tokens(text)
+        if size > max_tokens:
+            # oversize section -> C1 re-chunk with small overlap
+            for c, t, _ in chunk_default(text, max_tokens, overlap):
+                chunks.append((c, t, order))
+                order += 1
+        else:
+            chunks.append((text, size, order))
+            order += 1
+    return chunks

@@ -41,11 +41,33 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 64 MB advisory size coalesces benchmark-scale
+        # shuffles (tens of MB) down to 1-4 partitions, serializing
+        # the merge stages regardless of core count.  A smaller
+        # advisory keeps post-shuffle parallelism ~= cores at this
+        # scale; at 100 TB raise it back via env (partition counts are
+        # bounded by spark.sql.shuffle.partitions anyway).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("KGFORGE_ADVISORY_PARTITION_BYTES", "8m"),
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
-        .config("spark.driver.memory", os.environ.get("KGFORGE_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so the
+        # heap must cover per-task execution memory x cores — an 8g
+        # heap makes 32 concurrent aggregate tasks spill and inverts
+        # scaling. Size generously for the 128 GiB harness box.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("KGFORGE_DRIVER_MEM", "48g"),
+        )
+        .config("spark.memory.fraction", "0.7")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -71,24 +71,43 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+def shingle_rows(
+    docs: DataFrame, k: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Distinct k-word shingles as ROWS (doc, shingle).
+
+    Shape: explode words once (the text is split exactly once per
+    doc), then window ``lead`` assembles each k-gram — linear work.
+    The naive alternative (transform over an index sequence with
+    slice) re-evaluates the split per element because higher-order
+    lambdas are interpreted, turning a scan into O(words^2).
+    The window shuffle keys on doc id — uniform, skew-free."""
+    ex = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", i).over(win) for i in range(1, k)
+    ]
+    sh = ex.select(
+        "doc",
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return sh.distinct()
+
+
 def shingles(
     docs: DataFrame, k: int = 3, id_col="doc_id", text_col="text"
 ) -> DataFrame:
-    """k-word shingles per doc (distinct). words -> sliding windows
-    via transform over indices (JVM-side, no UDF)."""
-    w = _words(F.col(text_col))
-    shingle_arr = F.when(
-        F.size(w) >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - k),
-                lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        F.col(id_col).alias("doc"), shingle_arr.alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    """k-word shingles per doc as a distinct array column."""
+    return (
+        shingle_rows(docs, k, id_col, text_col)
+        .groupBy("doc")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
 
 
 def minhash_signature(
@@ -98,18 +117,30 @@ def minhash_signature(
     md5(i || '#' || shingle) — lexicographic min over hex strings is a
     valid uniform min-hash and is portable to any SQL engine.
     Output: (doc, sig array<string>[num_hashes])."""
-    def hasher(prefix: str):
-        # single-arg lambda: a two-arg lambda would make Spark's
-        # transform() pass the array index as the second argument
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    ex = shingled.select("doc", F.explode("shingles").alias("s"))
+    return minhash_signature_rows(ex.withColumnRenamed("s", "shingle"),
+                                  num_hashes)
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), hasher(f"{i}#")))
-            for i in range(num_hashes)
-        ]
+
+def minhash_signature_rows(
+    sh_rows: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash from (doc, shingle) rows: grouped MINs — md5 runs once
+    per (shingle, i) in whole-stage codegen and the mins get map-side
+    partial aggregation (the skew-free shape)."""
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh_rows.groupBy("doc").agg(*aggs)
+    return wide.select(
+        "doc",
+        F.array(*[F.col(f"sig_{i}") for i in range(num_hashes)]).alias(
+            "sig"
+        ),
     )
-    return shingled.select("doc", sig.alias("sig"))
 
 
 def lsh_bands(
@@ -118,18 +149,26 @@ def lsh_bands(
     """Split the signature into bands; bucket key = band index +
     concatenated band slice.  Docs sharing any band bucket are
     candidates."""
-    out = None
-    for b in range(bands):
-        band = signatures.select(
-            "doc",
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-            ).alias("bucket"),
-        )
-        out = band if out is None else out.unionByName(band)
-    return out
+    # One pass: build all band buckets per row, explode — instead of a
+    # union of `bands` scans over the (expensive) signature subplan.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                    ),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        "doc", F.explode(band_structs).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
 
 
 def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
@@ -189,28 +228,37 @@ def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     sign -> fingerprint bits.  All higher-order functions, no UDF.
     Near-dups differ in few bits (hamming distance)."""
     n_bits = 60  # 15 hex chars -> 60 bits, fits a signed long
-    words = _words(F.col(text_col))
-    # token hash as a 60-bit bigint from the first 15 hex chars of md5
-    hashes = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    # Explode tokens so md5 runs ONCE per token (not once per bit),
+    # then 60 cheap bitwise sums with map-side partial aggregation.
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_words(F.col(text_col))).alias("w"),
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-
-    def bit_sum(mask: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-        )
-
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ]
+    sums = toks.groupBy("doc").agg(*aggs)
     fingerprint = F.lit(0).cast("long")
     for i in range(n_bits):
         fingerprint = fingerprint + F.when(
-            bit_sum(1 << i) > 0, F.lit(1 << i).cast("long")
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return docs.select(
-        F.col(id_col).alias("doc"), fingerprint.alias("simhash")
+    fingerprints = sums.select("doc", fingerprint.alias("simhash"))
+    # keep zero-token docs with simhash 0 (parity with the fold shape)
+    all_docs = docs.select(F.col(id_col).alias("doc"))
+    return all_docs.join(fingerprints, "doc", "left").select(
+        "doc",
+        F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
     )
 
 

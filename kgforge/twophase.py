@@ -1,0 +1,159 @@
+"""Two-phase ingest: chunk now, extract later (SURVEY.md §3.3).
+
+The reference decouples chunking from extraction via the unprocessed
+queue (InsertChunk insert.go:102-140, InsertChunks insert.go:67-100,
+ProcessUnprocessedChunk insert.go:142-171, queue rag.go:86-96).
+
+Batch-engine shape: a ``pending`` table of chunk ids.
+
+- :func:`insert_chunks_only` (phase A): chunk the corpus, persist the
+  chunks table, enqueue every chunk as pending — no extraction, no
+  LLM cost.  Also accepts PRE-CHUNKED rows (the InsertChunks path,
+  S9) via ``prechunked=True``.
+- :func:`process_pending` (phase B): read pending chunk ids, extract
+  + merge ONLY those chunks, mark done.  Re-running after a crash
+  picks up exactly the still-pending set; keyed upserts keep it
+  idempotent.  ``limit`` processes the queue in bounded slices (the
+  work-queue consumption pattern).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import merge as mrg
+from kgforge.canonicalize import explode_mentions
+from kgforge.chunking import build_chunks
+from kgforge.extraction import extraction_col
+from kgforge.pipeline import PipelineConfig, build_graph, embedding_rows
+from kgforge.store import ParquetTableStore
+
+
+def insert_chunks_only(
+    spark: SparkSession,
+    source: DataFrame,
+    store: ParquetTableStore,
+    config: Optional[PipelineConfig] = None,
+    prechunked: bool = False,
+) -> dict:
+    """Phase A: chunk + enqueue, no extraction.
+
+    ``source`` is either a repos-shaped corpus, or (``prechunked``)
+    already-chunked rows in CHUNKS_SCHEMA (the reference's
+    InsertChunks external-chunker path, insert.go:67-100).
+    """
+    config = config or PipelineConfig()
+    if prechunked:
+        chunks = source
+    else:
+        chunks, rejects = build_chunks(
+            source, config.chunk_max_tokens, config.chunk_overlap_tokens
+        )
+        store.upsert(
+            "rejects",
+            rejects.withColumn("status", F.lit("go-parse-error")),
+            ["doc_id"],
+        )
+    chunks = chunks.persist()
+    n = chunks.count()
+    store.upsert("chunks", chunks, ["chunk_id"])
+    pending = chunks.select(
+        "chunk_id",
+        "doc_id",
+        "repo",
+        "lang",
+        F.lit("pending").alias("status"),
+        F.lit(config.now).alias("enqueued_at"),
+    )
+    store.upsert("pending", pending, ["chunk_id"])
+    chunks.unpersist()
+    return {"n_chunks": n}
+
+
+def process_pending(
+    spark: SparkSession,
+    store: ParquetTableStore,
+    config: Optional[PipelineConfig] = None,
+    limit: Optional[int] = None,
+) -> dict:
+    """Phase B: extract + merge the pending chunk set, mark done.
+
+    The pending read + semi-join replaces the reference's
+    KVUnprocessedKeys scan (bolt.go:124-143); docID recovery from the
+    chunk id (insert.go:156-162) is unnecessary because the chunks
+    table carries doc_id as a real column.
+    """
+    config = config or PipelineConfig()
+    pending = store.read("pending")
+    if pending is None:
+        return {"n_processed": 0}
+    todo_ids = pending.filter(F.col("status") == "pending").select(
+        "chunk_id"
+    )
+    if limit is not None:
+        todo_ids = todo_ids.orderBy("chunk_id").limit(limit)
+    todo_ids = todo_ids.persist()
+    n_todo = todo_ids.count()
+    if n_todo == 0:
+        todo_ids.unpersist()
+        return {"n_processed": 0}
+
+    chunks = store.read("chunks").join(todo_ids, "chunk_id", "left_semi")
+    extracted = chunks.withColumn(
+        "extraction", extraction_col(F.col("content"), config.extractor)
+    )
+    ents, rels = explode_mentions(extracted, config.entity_types)
+    ents = ents.persist()
+    rels = rels.persist()
+
+    existing_nodes = store.read("nodes")
+    existing_edges = store.read("edges")
+    known_node_ids = None
+    if existing_nodes is not None:
+        known_node_ids = existing_nodes.select("entity_id")
+        existing_nodes = existing_nodes.join(
+            ents.select(F.col("entity_name").alias("entity_id")).distinct(),
+            "entity_id",
+            "left_semi",
+        )
+    if existing_edges is not None:
+        existing_edges = existing_edges.join(
+            rels.select("src", "dst").distinct(), ["src", "dst"],
+            "left_semi",
+        )
+    nodes, edges = build_graph(
+        ents,
+        rels,
+        existing_nodes=existing_nodes,
+        existing_edges=existing_edges,
+        config=config,
+        known_node_ids=known_node_ids,
+        persist=True,
+    )
+    nodes = nodes.persist()
+    edges = edges.persist()
+    store.upsert("nodes", nodes, ["entity_id"])
+    store.upsert("edges", edges, ["src", "dst"])
+    if config.with_embeddings:
+        store.upsert(
+            "embeddings", embedding_rows(nodes, edges), ["id", "kind"]
+        )
+
+    done = (
+        store.read("pending")
+        .join(todo_ids, "chunk_id", "left_semi")
+        .withColumn("status", F.lit("done"))
+    )
+    store.upsert("pending", done, ["chunk_id"])
+    out = {
+        "n_processed": n_todo,
+        "n_nodes": nodes.count(),
+        "n_edges": edges.count(),
+    }
+    for df in (todo_ids, ents, rels, nodes, edges):
+        df.unpersist()
+    return out

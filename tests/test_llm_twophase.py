@@ -1,0 +1,201 @@
+"""Tests for the LLM extraction client (retry/backoff/glean, E2/X2)
+and the two-phase ingest path (§3.3)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.llm import (
+    GLEAN_DECIDE_PROMPT,
+    ExtractionPromptData,
+    LLMExtractor,
+    extract_keywords,
+    render_extract_prompt,
+)
+from kgforge.pipeline import PipelineConfig
+from kgforge.store import ParquetTableStore
+from kgforge.twophase import insert_chunks_only, process_pending
+
+GOLDEN = {
+    "entities": [
+        {"entity_name": "A", "entity_type": "person",
+         "entity_description": "a"}
+    ],
+    "relationships": [],
+}
+GLEANED = {
+    "entities": [
+        {"entity_name": "B", "entity_type": "person",
+         "entity_description": "b"}
+    ],
+    "relationships": [],
+}
+
+
+def test_extractor_happy_path_with_one_glean():
+    """The reference always runs one glean pass (insert.go:387-421)."""
+    calls = []
+
+    def chat(histories):
+        calls.append(list(histories))
+        if len(calls) == 1:
+            return json.dumps(GOLDEN)
+        return json.dumps(GLEANED)
+
+    ex = LLMExtractor(chat, glean_count=0, sleep=lambda s: None)
+    out = ex("some text")
+    names = [e["entity_name"] for e in out["entities"]]
+    assert names == ["A", "B"]
+    assert len(calls) == 2  # extract + exactly one glean
+
+
+def test_extractor_glean_continue_on_yes():
+    calls = {"n": 0}
+
+    def chat(histories):
+        calls["n"] += 1
+        if histories[-1] == GLEAN_DECIDE_PROMPT:
+            return "Yes" if calls["n"] < 5 else "no"
+        if calls["n"] == 1:
+            return json.dumps(GOLDEN)
+        return json.dumps(GLEANED)
+
+    ex = LLMExtractor(chat, glean_count=3, sleep=lambda s: None)
+    out = ex("text")
+    # initial A + gleaned B repeated per glean round
+    assert out["entities"][0]["entity_name"] == "A"
+    assert len(out["entities"]) >= 2
+
+
+def test_extractor_retry_then_success():
+    attempts = {"n": 0}
+    slept = []
+
+    def chat(histories):
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise ConnectionError("boom")
+        if attempts["n"] == 2:
+            return "not json garbage"
+        return json.dumps(GOLDEN)
+
+    ex = LLMExtractor(
+        chat, max_retries=5, glean_count=0,
+        backoff_seconds=0.5, sleep=slept.append,
+    )
+    out = ex("text")
+    assert out["entities"][0]["entity_name"] == "A"
+    assert slept == [0.5, 0.5]  # backoff between retries (X2)
+
+
+def test_extractor_exhausts_retries():
+    def chat(histories):
+        raise ConnectionError("down")
+
+    ex = LLMExtractor(chat, max_retries=3, sleep=lambda s: None)
+    with pytest.raises(RuntimeError, match="after 3 retries"):
+        ex("text")
+
+
+def test_prompt_contains_slots():
+    data = ExtractionPromptData(
+        goal="find go symbols",
+        entity_types=["function", "struct"],
+        language="English",
+        examples=[{"text": "func A()", "output": GOLDEN}],
+    )
+    p = render_extract_prompt(data, "package x")
+    for needle in ["find go symbols", "function, struct", "English",
+                   "func A()", "package x"]:
+        assert needle in p
+
+
+def test_extract_keywords_cleanup():
+    def chat(histories):
+        return (
+            "<think>hmm</think>```json\n"
+            '{"high_level_keywords": ["graphs"], '
+            '"low_level_keywords": ["entity1"],}\n```'
+        )
+
+    out = extract_keywords(chat, "what is entity1")
+    assert out == {
+        "high_level_keywords": ["graphs"],
+        "low_level_keywords": ["entity1"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# two-phase ingest
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    rows = [
+        ("r1", "a.txt", "c", "text", "spark engines shuffle partitions"),
+        ("r1", "b.txt", "c", "text", "vectorized pipelines stream batches"),
+        ("r2", "c.txt", "c", "text", "columnar storage scans filter data"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+
+
+def test_two_phase_chunk_then_process(spark, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "t"))
+    cfg = PipelineConfig()
+    m = insert_chunks_only(spark, _corpus(spark), store, cfg)
+    assert m["n_chunks"] == 3
+    # phase A: no extraction happened
+    assert store.read("nodes") is None
+    pend = store.read("pending")
+    assert pend.filter(F.col("status") == "pending").count() == 3
+
+    # phase B in two bounded slices (work-queue consumption)
+    m1 = process_pending(spark, store, cfg, limit=2)
+    assert m1["n_processed"] == 2
+    assert (
+        store.read("pending").filter(F.col("status") == "pending").count()
+        == 1
+    )
+    m2 = process_pending(spark, store, cfg)
+    assert m2["n_processed"] == 1
+    # queue drained; third call is a no-op
+    assert process_pending(spark, store, cfg)["n_processed"] == 0
+
+    nodes = store.read("nodes")
+    assert nodes.count() > 0
+    # all three docs' chunks contributed sources
+    srcs = {
+        s
+        for r in nodes.select("source_ids").collect()
+        for s in r.source_ids
+    }
+    assert {"r1:a.txt@c-chunk-0", "r1:b.txt@c-chunk-0",
+            "r2:c.txt@c-chunk-0"} <= srcs
+
+
+def test_prechunked_ingest(spark, tmp_path):
+    """S9 InsertChunks: externally chunked rows enter the queue
+    directly (insert.go:67-100)."""
+    store = ParquetTableStore(spark, str(tmp_path / "t2"))
+    rows = [
+        ("ext-1-chunk-0", "ext-1", "rx", "text", 0,
+         "prechunked content about engines", 5, "f" * 64),
+    ]
+    chunks = spark.createDataFrame(
+        rows,
+        "chunk_id string, doc_id string, repo string, lang string, "
+        "order_index int, content string, token_size int, "
+        "content_sha string",
+    )
+    m = insert_chunks_only(spark, chunks, store, prechunked=True)
+    assert m["n_chunks"] == 1
+    m2 = process_pending(spark, store)
+    assert m2["n_processed"] == 1
+    assert store.read("nodes").filter(
+        F.col("entity_id") == "PRECHUNKED"
+    ).count() == 1

@@ -1,0 +1,119 @@
+"""C4 markdown + C3 semantic chunker tests — behavioral contracts
+from handler/markdown_test.go and handler/semantic_test.go."""
+
+from kgforge import tokenizer
+from kgforge.markdown import chunk_markdown
+from kgforge.semantic import chunk_semantic, paragraph_proposer
+
+DOC = """# Main Title
+
+This is the introduction paragraph with enough words to matter.
+
+## Section One
+
+Some content in section one. It has two sentences.
+
+```python
+def code_block():
+    return "should stay intact"
+```
+
+## Section Two
+
+| col_a | col_b |
+|-------|-------|
+| 1     | 2     |
+
+- a list item
+- another list item
+"""
+
+
+def test_markdown_basic_structure():
+    chunks = chunk_markdown(DOC)
+    assert chunks, "Expected at least one chunk"
+    all_text = "\n".join(c for c, _, _ in chunks)
+    assert "Main Title" in all_text
+    for content, token_size, order in chunks:
+        assert token_size == tokenizer.count_tokens(content)
+
+
+def test_markdown_code_block_intact():
+    chunks = chunk_markdown(DOC, max_chunk_size=120)
+    code_chunks = [c for c, _, _ in chunks if "def code_block" in c]
+    assert code_chunks, "Expected to find code block in chunks"
+    assert 'return "should stay intact"' in code_chunks[0]
+
+
+def test_markdown_table_intact():
+    chunks = chunk_markdown(DOC, max_chunk_size=120)
+    table_chunks = [c for c, _, _ in chunks if "col_a" in c]
+    assert table_chunks
+    assert "| 1" in table_chunks[0]  # table rows kept together
+
+
+def test_markdown_small_max_multiple_chunks():
+    chunks = chunk_markdown(DOC, max_chunk_size=100)
+    assert len(chunks) >= 2
+    # order_index = start position: strictly increasing
+    orders = [o for _, _, o in chunks]
+    assert orders == sorted(orders)
+
+
+def test_markdown_sentence_boundaries():
+    text = "## H\n\n" + ("A sentence about engines. " * 30)
+    chunks = chunk_markdown(text, max_chunk_size=200)
+    assert len(chunks) >= 2
+    for content, _, _ in chunks[:-1]:
+        assert content.rstrip().endswith(
+            (".", "!", "?")
+        ), f"chunk should end at sentence boundary: {content[-30:]}"
+
+
+def test_markdown_decimal_not_split():
+    text = "## H\n\n" + "The value of pi is 3.14159 in this doc. " * 10
+    chunks = chunk_markdown(text, max_chunk_size=150)
+    for content, _, _ in chunks:
+        assert "3." not in content or "3.14159" in content
+
+
+def test_markdown_syntax_only_filtered():
+    assert chunk_markdown("---\n\n***\n\n> \n") == []
+    assert chunk_markdown("") == []
+
+
+def test_semantic_paragraph_spans():
+    text = "First paragraph here.\n\nSecond paragraph there.\n\nThird one."
+    chunks = chunk_semantic(text)
+    assert [c for c, _, _ in chunks] == [
+        "First paragraph here.",
+        "Second paragraph there.",
+        "Third one.",
+    ]
+    assert [o for _, _, o in chunks] == [0, 1, 2]
+
+
+def test_semantic_invalid_spans_clipped_and_skipped():
+    def bad_proposer(text):
+        return [
+            {"start": -5, "end": 10},        # clipped to 0..10
+            {"start": 50, "end": 40},        # dropped (end <= start)
+            {"start": 10**6, "end": 10**7},  # dropped (past EOF)
+        ]
+
+    text = "0123456789 rest of the document"
+    chunks = chunk_semantic(text, proposer=bad_proposer)
+    assert len(chunks) == 1 and chunks[0][0] == "0123456789"
+
+
+def test_semantic_empty_proposal_falls_back_to_default():
+    text = "Some plain text content for fallback."
+    chunks = chunk_semantic(text, proposer=lambda t: [])
+    assert len(chunks) == 1 and chunks[0][0] == text
+
+
+def test_semantic_oversize_section_rechunked():
+    text = "word " * 3000  # one giant paragraph
+    chunks = chunk_semantic(text, max_tokens=100)
+    assert len(chunks) > 1
+    assert all(t <= 100 for _, t, _ in chunks)

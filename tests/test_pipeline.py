@@ -116,3 +116,61 @@ def test_embeddings_written(spark, store):
     assert kinds == {"entity", "relationship"}
     one = emb.limit(1).collect()[0]
     assert len(one.vector) == 64
+
+
+def test_incremental_merge_preserves_untouched_rows(spark, store):
+    """Delta runs only re-aggregate touched keys; disjoint existing
+    rows (incl. earlier placeholders) survive byte-identical and no
+    duplicate placeholders are created for known entities."""
+    import json
+
+    from kgforge.canonicalize import DEFAULT_ENTITY_TYPES
+    from kgforge.extraction import EXTRACTORS, FixtureExtractor
+
+    def corpus(path, marker):
+        return spark.createDataFrame(
+            [("r", path, "c", "text", f"text with {marker} inside")],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+
+    p1 = {
+        "entities": [{"entity_name": "Alpha", "entity_type": "person",
+                      "entity_description": "a"}],
+        "relationships": [{"source_entity": "Alpha",
+                           "target_entity": "Ghost",
+                           "relationship_description": "r1",
+                           "relationship_keywords": ["K1"],
+                           "relationship_strength": 1.0}],
+    }
+    p2 = {
+        "entities": [{"entity_name": "Beta", "entity_type": "person",
+                      "entity_description": "b"}],
+        "relationships": [{"source_entity": "Beta",
+                           "target_entity": "Ghost",
+                           "relationship_description": "r2",
+                           "relationship_keywords": ["K2"],
+                           "relationship_strength": 1.0}],
+    }
+    EXTRACTORS["_inc"] = lambda: FixtureExtractor(
+        {"MARK-ONE": p1, "MARK-TWO": p2}
+    )
+    try:
+        cfg = PipelineConfig(extractor="_inc",
+                             entity_types=DEFAULT_ENTITY_TYPES)
+        run_insert(spark, corpus("one.txt", "MARK-ONE"), store, cfg)
+        nodes1 = {r.entity_id: r for r in store.read("nodes").collect()}
+        assert nodes1["GHOST"].entity_type == "UNKNOWN"
+
+        run_insert(spark, corpus("two.txt", "MARK-TWO"), store, cfg)
+        nodes2 = {r.entity_id: r for r in store.read("nodes").collect()}
+        # ALPHA untouched by run 2 -> identical row
+        assert nodes2["ALPHA"].descriptions == nodes1["ALPHA"].descriptions
+        assert nodes2["ALPHA"].source_ids == nodes1["ALPHA"].source_ids
+        # GHOST existed -> no duplicate placeholder, still one row
+        assert sum(1 for k in nodes2 if k == "GHOST") == 1
+        assert set(nodes2) == {"ALPHA", "BETA", "GHOST"}
+        edges = {(r.src, r.dst): r for r in store.read("edges").collect()}
+        assert set(edges) == {("ALPHA", "GHOST"), ("BETA", "GHOST")}
+    finally:
+        del EXTRACTORS["_inc"]
