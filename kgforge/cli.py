@@ -1,0 +1,79 @@
+"""spark-submit entry point (north-rule deployment path).
+
+Usage::
+
+    spark-submit --py-files kgforge.zip -m kgforge.cli ingest \
+        --corpus /data/repos --store /warehouse/kg
+    python -m kgforge.cli ingest --corpus ... --store ...
+    python -m kgforge.cli query --store ... --question "what is X"
+    python -m kgforge.cli bench-corpus --n-files 100000 --out /data/repos
+
+The ingest job is resumable: re-submission after a failure re-enters
+via the sha-gate/checkpoint and only pending partitions re-extract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from kgforge.pipeline import PipelineConfig
+from kgforge.session import build_session
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kgforge")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="resumable KG construction run")
+    ing.add_argument("--corpus", required=True,
+                     help="parquet dir with repos-shaped rows")
+    ing.add_argument("--store", required=True, help="table store root")
+    ing.add_argument("--extractor", default="heuristic")
+    ing.add_argument("--max-tokens", type=int, default=1024)
+    ing.add_argument("--overlap-tokens", type=int, default=128)
+
+    qry = sub.add_parser("query", help="LightRAG-style retrieval")
+    qry.add_argument("--store", required=True)
+    qry.add_argument("--question", required=True)
+    qry.add_argument("--top-k", type=int, default=5)
+
+    gen = sub.add_parser("bench-corpus", help="synthesize a test corpus")
+    gen.add_argument("--n-files", type=int, default=10000)
+    gen.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    spark = build_session("kgforge-cli")
+
+    if args.cmd == "ingest":
+        from kgforge.pipeline import run_insert
+        from kgforge.store import ParquetTableStore
+
+        corpus = spark.read.parquet(args.corpus)
+        store = ParquetTableStore(spark, args.store)
+        cfg = PipelineConfig(
+            extractor=args.extractor,
+            chunk_max_tokens=args.max_tokens,
+            chunk_overlap_tokens=args.overlap_tokens,
+        )
+        print(json.dumps(run_insert(spark, corpus, store, cfg)))
+    elif args.cmd == "query":
+        from kgforge.rag import LightRAG
+
+        rag = LightRAG(spark, args.store, top_k=args.top_k)
+        print(rag.query_text(
+            [{"role": "user", "message": args.question}]
+        ))
+    elif args.cmd == "bench-corpus":
+        from kgforge.corpus import synthesize_corpus
+
+        synthesize_corpus(spark, n_files=args.n_files).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"written": args.n_files, "path": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,3 +129,41 @@ def test_degrees_undirected(spark, graph):
     _, edges, _, _ = graph
     d = {r.entity_id: r.degree for r in q.degrees(edges).collect()}
     assert d == {"ENTITY1": 1, "ENTITY2": 1}
+
+
+def test_rag_facade_end_to_end(spark, tmp_path):
+    """User-level round trip: insert a corpus, ask a question, get the
+    reference-style CSV context (Insert + Query entry points)."""
+    from kgforge.rag import LightRAG, extract_query_and_histories
+    import pytest as _pytest
+
+    rag = LightRAG(spark, str(tmp_path / "rag-store"))
+    corpus = spark.createDataFrame(
+        [
+            ("r1", "a.txt", "c", "text",
+             "stream processors shuffle partitions across executors"),
+            ("r1", "b.txt", "c", "text",
+             "columnar scans filter partitions using zone maps"),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    m = rag.insert(corpus)
+    assert m["docs_processed"] == 2
+
+    out = rag.query_text(
+        [
+            {"role": "assistant", "message": "hello"},
+            {"role": "user", "message": "partitions shuffle"},
+        ]
+    )
+    assert "-----Entities-----" in out and "PARTITIONS" in out
+
+    qt, hist = extract_query_and_histories(
+        [{"role": "user", "message": "q1"},
+         {"role": "assistant", "message": "a"},
+         {"role": "user", "message": "q2"}]
+    )
+    assert qt == "q2" and len(hist) == 2
+    with _pytest.raises(ValueError):
+        extract_query_and_histories([{"role": "assistant", "message": "x"}])
