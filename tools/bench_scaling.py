@@ -48,8 +48,10 @@ extra = {
     "spark.driver.memory": "8g",
 }
 if "x" in cpus:
+    # NO AlwaysPreTouch here: pre-touching a 12g heap stalls executor
+    # startup past the worker's patience, TERM -> relaunch loop
+    # (observed: 1596 executor launches in one run).
     extra["spark.executor.memory"] = "12g"
-    extra["spark.executor.extraJavaOptions"] = "-XX:+AlwaysPreTouch"
 else:
     extra["spark.driver.extraJavaOptions"] = "-Xms24g -XX:+AlwaysPreTouch"
     extra["spark.driver.memory"] = "24g"
