@@ -48,7 +48,19 @@ def chunk_default(
     max_tokens: int = DEFAULT_MAX_TOKENS,
     overlap_tokens: int = DEFAULT_OVERLAP_TOKENS,
 ) -> List[Tuple[str, int, int]]:
-    """C1: sliding token window (default.go:53-96). Pure function."""
+    """C1: sliding token window (default.go:53-96). Pure function.
+
+    ``overlap_tokens >= max_tokens`` would make the stride non-positive
+    and the window loop never advance (the Go reference only dodges
+    this because zero-values fall back to defaults) — rejected here.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if overlap_tokens >= max_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be < max_tokens "
+            f"({max_tokens}): stride would be non-positive"
+        )
     if not content:
         return []
     tokens = tokenizer.encode(content)
@@ -77,6 +89,12 @@ def make_chunker_udf(
     a rejects table (the batch analog of the reference's error
     return).
     """
+    # Fail fast on the driver, not inside an executor UDF loop.
+    if max_tokens <= 0 or overlap_tokens >= max_tokens:
+        raise ValueError(
+            f"invalid chunker window: max_tokens={max_tokens}, "
+            f"overlap_tokens={overlap_tokens} (need 0 < overlap < max)"
+        )
 
     @pandas_udf(CHUNK_ARRAY_TYPE)
     def chunker(lang: pd.Series, content: pd.Series) -> pd.Series:

@@ -78,6 +78,11 @@ def _strip_line(
             continue
         if c == '"' or c == "'":
             quote = c
+            # Keep an empty quote pair in the effective text so
+            # string-literal POSITIONS remain detectable (import spec
+            # matching) while the body stays bracket-inert.
+            out.append(quote)
+            out.append(quote)
             i += 1
             while i < n:
                 if line[i] == "\\":
@@ -100,12 +105,15 @@ def _bracket_delta(effective: str) -> int:
 
 
 def _doc_comment_text(lines: List[str], decl_line_idx: int) -> str:
-    """ast.CommentGroup.Text() for `//` comments directly above a decl.
+    """ast.CommentGroup.Text() for comments directly above a decl.
 
     Go associates a doc comment only when it ends on the line
-    immediately before the declaration (no blank line between).
-    Text() strips the `//` markers and one leading space, and the
-    result ends with a newline (or is empty).
+    immediately before the declaration (no blank line between).  The
+    reference attaches ``d.Doc.Text()`` (go.go:91-93), which covers
+    both ``//`` line comments and ``/* */`` block comments: markers
+    are stripped (one leading space after ``//``), leading/trailing
+    blank lines dropped, and the result ends with a newline (or is
+    empty).
     """
     texts: List[str] = []
     i = decl_line_idx - 1
@@ -117,15 +125,42 @@ def _doc_comment_text(lines: List[str], decl_line_idx: int) -> str:
                 body = body[1:]
             texts.append(body)
             i -= 1
+        elif stripped.endswith("*/"):
+            # Block doc comment ending immediately above the decl:
+            # walk back to its `/*` opener, then emit its inner lines.
+            block: List[str] = []
+            j = i
+            found = False
+            while j >= 0:
+                block.append(lines[j])
+                if lines[j].lstrip().startswith("/*"):
+                    found = True
+                    break
+                j -= 1
+            if not found:
+                break
+            block.reverse()
+            raw = "\n".join(block).strip()
+            inner = raw[2:-2]  # drop /* and */
+            # texts is built bottom-up and reversed at the end, so
+            # push the block's lines in reverse order here.
+            for ln in reversed(inner.split("\n")):
+                texts.append(ln.strip())
+            i = j - 1
+            # go/ast attaches at most the adjacent comment GROUP; a
+            # block comment is its own group, so stop here.
+            break
         else:
             break
     if not texts:
         return ""
     texts.reverse()
-    # CommentGroup.Text() drops trailing blank comment lines and ends
-    # with exactly one "\n".
+    # CommentGroup.Text() drops leading/trailing blank comment lines
+    # and ends with exactly one "\n".
     while texts and texts[-1] == "":
         texts.pop()
+    while texts and texts[0] == "":
+        texts.pop(0)
     if not texts:
         return ""
     return "\n".join(texts) + "\n"
@@ -213,11 +248,18 @@ def chunk_go(content: str) -> List[Tuple[str, int, int]]:
                 end = j
                 decls.append((kind, start, end))
                 if kind == "import":
+                    # Match import specs on the comment-stripped text
+                    # (eff_k), not the raw line: a quoted string inside
+                    # a comment within the import block must not shift
+                    # the header boundary.
+                    in_bc_k = in_raw_k = False
                     for k in range(start, end + 1):
-                        eff_k, _, _ = _strip_line(lines[k], False, False)
-                        if _IMPORT_SPEC_RE.search(lines[k]) and not lines[
-                            k
-                        ].strip().startswith("//"):
+                        eff_k, in_bc_k, in_raw_k = _strip_line(
+                            lines[k], in_bc_k, in_raw_k
+                        )
+                        # _strip_line drops string BODIES but keeps the
+                        # quote marks, so the spec regex still matches.
+                        if _IMPORT_SPEC_RE.search(eff_k):
                             last_import_spec_line = k + 1  # 1-based
                 i = end + 1
                 continue

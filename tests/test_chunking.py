@@ -241,3 +241,54 @@ def test_build_chunks_sha_invariant(spark):
     for r in rows:
         assert r.token_size == tokenizer.count_tokens(r.content)
         assert len(r.content_sha) == 64
+
+
+def test_chunk_default_rejects_bad_window():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_default("some text", max_tokens=100, overlap_tokens=100)
+    with _pytest.raises(ValueError):
+        chunk_default("some text", max_tokens=0, overlap_tokens=0)
+    from kgforge.chunking import make_chunker_udf
+
+    with _pytest.raises(ValueError):
+        make_chunker_udf(max_tokens=64, overlap_tokens=128)
+
+
+def test_go_block_doc_comment():
+    """/* */ doc comments attach like d.Doc.Text() (go.go:91-93)."""
+    from kgforge.gochunk import chunk_go
+
+    src = (
+        "package p\n\n"
+        "/*\nAdd sums two ints.\nSecond line.\n*/\n"
+        "func Add(a, b int) int {\n\treturn a + b\n}\n"
+    )
+    chunks = chunk_go(src)
+    func_chunk = chunks[1][0]
+    assert func_chunk.startswith(
+        "package p\n\nAdd sums two ints.\nSecond line.\nfunc Add"
+    )
+    # single-line block form
+    src2 = "package p\n\n/* Neg flips sign. */\nfunc Neg(a int) int { return -a }\n"
+    c2 = chunk_go(src2)
+    assert c2[1][0].startswith("package p\n\nNeg flips sign.\nfunc Neg")
+
+
+def test_go_import_comment_quote_does_not_shift_header():
+    """A quoted string inside a comment within the import block must
+    not extend the header boundary (comment-stripped matching)."""
+    from kgforge.gochunk import chunk_go
+
+    src = (
+        'package p\n\nimport (\n\t"fmt"\n\t// was: "os"\n)\n\n'
+        "func F() { fmt.Println() }\n"
+    )
+    chunks = chunk_go(src)
+    header = chunks[0][0]
+    # last import SPEC is "fmt" on line 4 -> header = lines 1..5,
+    # stopping before the closing paren would move if the comment
+    # quote counted (it would claim line 5 as a spec -> header 1..6).
+    assert header.split("\n")[-1].strip() == '// was: "os"'
+    assert ")" not in header
