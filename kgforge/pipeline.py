@@ -223,7 +223,12 @@ def run_insert(
     ents = ents.persist()
     rels = rels.persist()
 
-    store.upsert("chunks", chunks, ["chunk_id"])
+    # All table writes are STAGED (fully materialized to temp dirs)
+    # and committed together at the end: the reference's crash window
+    # between "edges upserted" and "checkpoint written" — which would
+    # double-count additive edge weights on resume (the sha-gate
+    # re-admits the doc) — collapses to a rename loop.
+    staged = [store.stage_upsert("chunks", chunks, ["chunk_id"])]
     # Rejects via anti-join of go docs vs produced chunks: avoids
     # re-running the chunker UDF lineage a second time just to find
     # the null rows.  (A parsed .go file always yields >= 1 chunk.)
@@ -234,7 +239,7 @@ def run_insert(
     rejected = go_docs.join(
         chunks.select("doc_id").distinct(), "doc_id", "left_anti"
     ).withColumn("status", F.lit("go-parse-error"))
-    store.upsert("rejects", rejected, ["doc_id"])
+    staged.append(store.stage_upsert("rejects", rejected, ["doc_id"]))
 
     # Incremental merge: only graph rows whose key appears in the new
     # mentions enter the reduce (left-semi restriction).  Untouched
@@ -283,11 +288,15 @@ def run_insert(
         edges.observe(obs_edges, F.count(F.lit(1)).alias("n"))
         if use_obs else edges
     )
-    store.upsert("nodes", nodes_w, ["entity_id"])
-    store.upsert("edges", edges_w, ["src", "dst"])
+    staged.append(store.stage_upsert("nodes", nodes_w, ["entity_id"]))
+    staged.append(store.stage_upsert("edges", edges_w, ["src", "dst"]))
 
     if config.with_embeddings:
-        store.upsert("embeddings", embedding_rows(nodes, edges), ["id", "kind"])
+        staged.append(
+            store.stage_upsert(
+                "embeddings", embedding_rows(nodes, edges), ["id", "kind"]
+            )
+        )
 
     # checkpoint: lineage + per-doc metrics
     docs = todo.select("doc_id", "repo", "lang", "content_sha")
@@ -305,7 +314,9 @@ def run_insert(
         ckpt_rows.observe(obs_ckpt, F.sum("n_chunks").alias("n_chunks"))
         if use_obs else ckpt_rows
     )
-    store.upsert("checkpoint", ckpt_w, ["doc_id"])
+    staged.append(store.stage_upsert("checkpoint", ckpt_w, ["doc_id"]))
+    # Single commit point: graph + lineage become visible together.
+    store.commit(staged)
 
     metrics = {
         "docs_total": n_total,

@@ -47,20 +47,23 @@ def insert_chunks_only(
     InsertChunks external-chunker path, insert.go:67-100).
     """
     config = config or PipelineConfig()
+    staged = []
     if prechunked:
         chunks = source
     else:
         chunks, rejects = build_chunks(
             source, config.chunk_max_tokens, config.chunk_overlap_tokens
         )
-        store.upsert(
-            "rejects",
-            rejects.withColumn("status", F.lit("go-parse-error")),
-            ["doc_id"],
+        staged.append(
+            store.stage_upsert(
+                "rejects",
+                rejects.withColumn("status", F.lit("go-parse-error")),
+                ["doc_id"],
+            )
         )
     chunks = chunks.persist()
     n = chunks.count()
-    store.upsert("chunks", chunks, ["chunk_id"])
+    staged.append(store.stage_upsert("chunks", chunks, ["chunk_id"]))
     pending = chunks.select(
         "chunk_id",
         "doc_id",
@@ -69,7 +72,10 @@ def insert_chunks_only(
         F.lit("pending").alias("status"),
         F.lit(config.now).alias("enqueued_at"),
     )
-    store.upsert("pending", pending, ["chunk_id"])
+    staged.append(store.stage_upsert("pending", pending, ["chunk_id"]))
+    # chunks + queue become visible together (no chunk without its
+    # pending row, so phase B can never miss work).
+    store.commit(staged)
     chunks.unpersist()
     return {"n_chunks": n}
 
@@ -136,11 +142,20 @@ def process_pending(
     )
     nodes = nodes.persist()
     edges = edges.persist()
-    store.upsert("nodes", nodes, ["entity_id"])
-    store.upsert("edges", edges, ["src", "dst"])
+    # Stage graph + embeddings + queue-status writes, then commit them
+    # together: a crash can no longer leave edges merged but the chunk
+    # still "pending" (which would double-add the additive edge weight
+    # on redelivery — the streaming path's exactly-once-effective
+    # contract depends on this).
+    staged = [
+        store.stage_upsert("nodes", nodes, ["entity_id"]),
+        store.stage_upsert("edges", edges, ["src", "dst"]),
+    ]
     if config.with_embeddings:
-        store.upsert(
-            "embeddings", embedding_rows(nodes, edges), ["id", "kind"]
+        staged.append(
+            store.stage_upsert(
+                "embeddings", embedding_rows(nodes, edges), ["id", "kind"]
+            )
         )
 
     done = (
@@ -148,7 +163,8 @@ def process_pending(
         .join(todo_ids, "chunk_id", "left_semi")
         .withColumn("status", F.lit("done"))
     )
-    store.upsert("pending", done, ["chunk_id"])
+    staged.append(store.stage_upsert("pending", done, ["chunk_id"]))
+    store.commit(staged)
     out = {
         "n_processed": n_todo,
         "n_nodes": nodes.count(),

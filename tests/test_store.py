@@ -1,0 +1,137 @@
+"""Bucketed-store contract: keyed MERGE with O(delta) I/O.
+
+VERDICT round-1 item 1: an incremental batch must rewrite only the
+hash buckets its keys land in, never the whole table (the Iceberg
+MERGE INTO emulation, kgforge/store.py).  Reference upsert contract:
+neo.go:193-249 / kuzu.go:203-252.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgforge.pipeline import PipelineConfig, run_insert
+from kgforge.store import ParquetTableStore
+
+
+def _mk_docs(spark, ids):
+    rows = [
+        (f"repo{a}", f"f{a}.txt", "HEAD", "text",
+         f"document number {a} talks about spark tables and streams")
+        for a in ids
+    ]
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=8)
+    base = spark.range(0, 200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.lit("v1").alias("val"),
+    )
+    store.upsert("tbl", base, ["key"])
+    before = store.bucket_files("tbl")
+    assert len(before) == 8  # 200 keys cover all 8 buckets
+
+    delta = spark.createDataFrame(
+        [("k3", "v2"), ("k7", "v2")], "key string, val string"
+    )
+    staged = store.upsert("tbl", delta, ["key"])
+    after = store.bucket_files("tbl")
+
+    # O(delta): at most 2 buckets rewritten, the rest byte-identical.
+    assert 1 <= staged.buckets_touched <= 2
+    changed = [b for b in before if before[b] != after[b]]
+    assert len(changed) == staged.buckets_touched
+    untouched = [b for b in before if b not in changed]
+    assert len(untouched) >= 6
+    for b in untouched:
+        assert before[b] == after[b]
+
+    # MERGE semantics intact: new rows win, others survive.
+    got = {r.key: r.val for r in store.read("tbl").collect()}
+    assert len(got) == 200
+    assert got["k3"] == "v2" and got["k7"] == "v2" and got["k5"] == "v1"
+
+
+def test_upsert_insert_only_delta(spark, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=8)
+    base = spark.range(0, 50).select(
+        F.concat(F.lit("a"), F.col("id")).alias("key"),
+        F.col("id").alias("val"),
+    )
+    store.upsert("tbl", base, ["key"])
+    new = spark.createDataFrame([("zz", 99)], "key string, val long")
+    staged = store.upsert("tbl", new, ["key"])
+    assert staged.buckets_touched == 1
+    assert store.read("tbl").count() == 51
+
+
+def test_unbucketed_table_migrates_on_first_upsert(spark, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    plain = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "key string, val long"
+    )
+    store.overwrite("legacy", plain)  # unbucketed layout
+    assert not store._is_bucketed("legacy")
+    store.upsert(
+        "legacy",
+        spark.createDataFrame([("b", 20), ("c", 3)], "key string, val long"),
+        ["key"],
+    )
+    assert store._is_bucketed("legacy")
+    got = {r.key: r.val for r in store.read("legacy").collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_staged_commit_is_all_or_nothing_visibility(spark, tmp_path):
+    """Nothing staged is visible before commit; everything after."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    df1 = spark.createDataFrame([("x", 1)], "key string, val long")
+    df2 = spark.createDataFrame([("y", 2)], "key string, val long")
+    s1 = store.stage_upsert("t1", df1, ["key"])
+    s2 = store.stage_upsert("t2", df2, ["key"])
+    assert store.read("t1") is None and store.read("t2") is None
+    store.commit([s1, s2])
+    assert store.read("t1").count() == 1
+    assert store.read("t2").count() == 1
+
+
+def test_incremental_insert_touches_o_delta_chunk_buckets(spark, tmp_path):
+    """End-to-end: run_insert of 1 new doc after 60 must rewrite only
+    the new chunk's bucket in the chunks table (oracle semantics are
+    covered by the driver correctness gate; this pins the I/O shape)."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=8)
+    cfg = PipelineConfig(chunk_max_tokens=512, chunk_overlap_tokens=0)
+    run_insert(spark, _mk_docs(spark, range(60)), store, cfg)
+    before = store.bucket_files("chunks")
+    assert len(before) == 8
+
+    run_insert(spark, _mk_docs(spark, range(61)), store, cfg)
+    after = store.bucket_files("chunks")
+    changed = [b for b in before if before[b] != after[b]]
+    # exactly one new chunk -> exactly one chunks bucket rewritten
+    assert len(changed) == 1
+    assert store.read("chunks").count() == 61
+    # graph row counts converge (same entities, weights merged)
+    nodes = {r.entity_id for r in store.read("nodes").collect()}
+    assert "SPARK" in nodes or "TABLES" in nodes
+
+
+def test_rerun_same_input_is_noop_for_store_files(spark, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=8)
+    cfg = PipelineConfig(chunk_max_tokens=512, chunk_overlap_tokens=0)
+    docs = _mk_docs(spark, range(20))
+    run_insert(spark, docs, store, cfg)
+    before = {
+        t: store.bucket_files(t) for t in ("chunks", "nodes", "edges")
+    }
+    m = run_insert(spark, docs, store, cfg)
+    assert m["docs_processed"] == 0
+    after = {
+        t: store.bucket_files(t) for t in ("chunks", "nodes", "edges")
+    }
+    assert before == after
