@@ -156,16 +156,26 @@ def build_graph(
 
 def embedding_rows(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """S8: entity text = name+descriptions (insert.go:561); edge text =
-    keywords+src+dst+descriptions (insert.go:683-684)."""
+    keywords+src+dst+descriptions (insert.go:683-684).
+
+    Relationship rows carry (src, dst) as real columns and a
+    length-prefixed id — an entity name containing '|' can neither
+    corrupt the recovered edge key (the query side joins on the
+    columns, never splits the id) nor collide two distinct edges onto
+    one upsert key (the length prefix pins where src ends)."""
     ent = nodes.select(
         F.col("entity_id").alias("id"),
         F.lit("entity").alias("kind"),
         F.concat(
             F.col("entity_id"), F.array_join("descriptions", SEP)
         ).alias("text"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("dst"),
     )
     rel = edges.select(
-        F.concat_ws("|", "src", "dst").alias("id"),
+        F.concat_ws(
+            "|", F.length("src").cast("string"), F.col("src"), F.col("dst")
+        ).alias("id"),
         F.lit("relationship").alias("kind"),
         F.concat(
             F.array_join("keywords", SEP),
@@ -173,6 +183,8 @@ def embedding_rows(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.col("dst"),
             F.array_join("descriptions", SEP),
         ).alias("text"),
+        F.col("src"),
+        F.col("dst"),
     )
     return (
         ent.unionByName(rel)

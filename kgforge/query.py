@@ -209,10 +209,16 @@ def global_context(
     """Q4 (query.go:266-347): edge-first retrieval."""
     if not keywords.strip():
         return _empty_contexts(nodes, edges, chunks)
-    seeds = vector_seed_ids(embeddings, "relationship", keywords, k)
-    edge_keys = seeds.select(
-        F.split(F.col("id"), r"\|").getItem(0).alias("src"),
-        F.split(F.col("id"), r"\|").getItem(1).alias("dst"),
+    # Edge keys ride the embeddings table as REAL (src, dst) columns —
+    # never recovered by splitting the id string, which would corrupt
+    # keys for entity names containing the delimiter (the class of bug
+    # the reference has at insert.go:583).
+    qv = embed_text(keywords)
+    seeds = top_k(
+        embeddings.filter(F.col("kind") == "relationship"), qv, k
+    )
+    edge_keys = seeds.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     sel_edges = edges.join(
         F.broadcast(edge_keys), ["src", "dst"], "left_semi"

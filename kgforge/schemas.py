@@ -136,6 +136,12 @@ EDGES_SCHEMA = StructType(
 
 # Embedding table (ContentEmbedding, rag.go:163-176; vector plane
 # rag.go:64-82).  kind ∈ {entity, relationship, chunk}.
+# Relationship rows carry src/dst as REAL columns (null for entities):
+# recovering the edge key by splitting a delimiter-joined id would
+# reintroduce the reference's 'SOURCE-TARGET' '-'-split ambiguity
+# (insert.go:583) for names containing the delimiter.  The id itself
+# is length-prefixed ("<len(src)>|<src>|<dst>") so distinct edges can
+# never collide on the upsert key.
 EMBEDDINGS_SCHEMA = StructType(
     [
         StructField("id", StringType(), False),
@@ -144,6 +150,8 @@ EMBEDDINGS_SCHEMA = StructType(
         StructField("vector", ArrayType(FloatType()), False),
         StructField("model", StringType(), True),
         StructField("created_at", TimestampType(), True),
+        StructField("src", StringType(), True),
+        StructField("dst", StringType(), True),
     ]
 )
 

@@ -50,12 +50,15 @@ def graph(spark):
     embeddings = spark.createDataFrame(
         [
             ("ENTITY1", "entity", "ENTITY1 Description of Entity1",
-             embed_text("ENTITY1 Description of Entity1"), MODEL_NAME, NOW),
+             embed_text("ENTITY1 Description of Entity1"), MODEL_NAME, NOW,
+             None, None),
             ("ENTITY2", "entity", "ENTITY2 Description of Entity2",
-             embed_text("ENTITY2 Description of Entity2"), MODEL_NAME, NOW),
-            ("ENTITY1|ENTITY2", "relationship",
+             embed_text("ENTITY2 Description of Entity2"), MODEL_NAME, NOW,
+             None, None),
+            ("7|ENTITY1|ENTITY2", "relationship",
              "RELATED_TO ENTITY1 ENTITY2",
-             embed_text("RELATED_TO ENTITY1 ENTITY2"), MODEL_NAME, NOW),
+             embed_text("RELATED_TO ENTITY1 ENTITY2"), MODEL_NAME, NOW,
+             "ENTITY1", "ENTITY2"),
         ],
         EMBEDDINGS_SCHEMA,
     )
@@ -167,3 +170,36 @@ def test_rag_facade_end_to_end(spark, tmp_path):
     assert qt == "q2" and len(hist) == 2
     with _pytest.raises(ValueError):
         extract_query_and_histories([{"role": "assistant", "message": "x"}])
+
+
+def test_global_context_pipe_in_entity_name(spark):
+    """Edge keys with '|' inside entity names must resolve exactly —
+    the embeddings table carries src/dst columns, never split-on-'|'
+    (the reference's '-'-split bug class, insert.go:583)."""
+    nodes = spark.createDataFrame(
+        [
+            ("A|B", "PERSON", ["d1"], ["c-0"], NOW),
+            ("C", "PERSON", ["d2"], ["c-0"], NOW),
+        ],
+        NODES_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [("A|B", "C", 1.0, ["A|B relates to C"], ["REL"], ["c-0"], NOW)],
+        EDGES_SCHEMA,
+    )
+    chunks = spark.createDataFrame(
+        [("c-0", "doc-1", None, "text", 0, "content", 1, "x" * 64)],
+        CHUNKS_SCHEMA,
+    )
+    text = "REL A|B C"
+    embeddings = spark.createDataFrame(
+        [("3|A|B|C", "relationship", text, embed_text(text), MODEL_NAME,
+          NOW, "A|B", "C")],
+        EMBEDDINGS_SCHEMA,
+    )
+    ents, rels, srcs = q.global_context(
+        "REL", nodes, edges, chunks, embeddings, k=1
+    )
+    r = rels.collect()
+    assert len(r) == 1 and (r[0].source, r[0].target) == ("A|B", "C")
+    assert {x.name for x in ents.collect()} == {"A|B", "C"}
