@@ -191,7 +191,13 @@ def q_lsh_candidates(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), 3, 0.5)
+    """Exact Jaccard verification over LSH candidate pairs — the
+    100 TB shape (banded bucket join -> per-pair verify), never the
+    all-pairs cross join."""
+    docs = _docs(spark, sf_dir)
+    sig = textops.minhash_signature_rows(textops.shingle_rows(docs), 16)
+    cands = textops.lsh_candidate_pairs(textops.lsh_bands(sig, 4, 4))
+    return textops.ngram_jaccard_pairs(docs, 3, 0.5, candidates=cands)
 
 
 def q_simhash(spark, sf_dir):
@@ -271,7 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # simhash / vector_lsh_topk / multimodal_decode are intentionally
-    # omitted: they hinge on engine-specific hash plumbing (murmur-free
-    # but bit-level) or stubbed codecs -> rows-only checks.
+    # Every queries() entry has a DuckDB oracle — including simhash
+    # (hex-digit bit arithmetic), vector_lsh_topk (the md5-seeded
+    # hyperplanes are deterministic constants embedded in the SQL) and
+    # multimodal_decode (the fake decode is md5-derived).
     return oracle_queries()

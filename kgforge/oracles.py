@@ -21,6 +21,19 @@ from kgforge.extraction import (
 )
 from kgforge.textops import EN_STOPWORDS
 
+_HEXD = "'0123456789abcdef'"
+
+
+def _hex_digit(col: str, pos: int) -> str:
+    """Value of hex digit at 1-based ``pos`` of hex-string ``col``."""
+    return f"(strpos({_HEXD}, substr({col}, {pos}, 1)) - 1)"
+
+
+def _hex_byte(col: str, byte_idx: int) -> str:
+    """Value of byte ``byte_idx`` (0-based) of an md5 hex digest."""
+    p = byte_idx * 2 + 1
+    return f"({_hex_digit(col, p)} * 16 + {_hex_digit(col, p + 1)})"
+
 # Shared CTE prelude: documents -> doc ids, chunk ids, words, capped
 # entity sets and co-occurrence pairs (the heuristic extractor in SQL).
 KG_PRELUDE = f"""
@@ -250,20 +263,32 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
 """
 
-    q["ngram_jaccard"] = f"""
-WITH w AS (
-  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+    # ngram_jaccard mirrors the SCALE path: exact Jaccard verification
+    # over LSH candidate pairs only — never the all-pairs cross join.
+    q["ngram_jaccard"] = SHINGLES_CTE + f"""
+, sig0 AS (
+  SELECT doc, {_minhash_sig_exprs(16)} FROM sh GROUP BY doc
 ),
-sh AS (
+sigb AS (SELECT doc, {band_exprs} FROM sig0),
+bands AS ({band_union.replace(" FROM sig", " FROM sigb")}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+shing AS (
   SELECT doc, list_distinct(list_transform(range(1, len(ws) - 1),
          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
-  FROM w WHERE len(ws) >= 3
+  FROM (SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents)
+  WHERE len(ws) >= 3
 )
-SELECT a.doc AS doc_a, b.doc AS doc_b,
+SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
              / len(list_distinct(list_concat(a.shingles, b.shingles))),
              4) AS jaccard
-FROM sh a JOIN sh b ON a.doc < b.doc
+FROM cand c
+JOIN shing a ON c.doc_a = a.doc
+JOIN shing b ON c.doc_b = b.doc
 WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
 """
@@ -275,6 +300,52 @@ SELECT vec_id AS id,
              AS DOUBLE), 4) AS score
 FROM embeddings
 ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+    # simhash64 parity: Spark takes the first 15 hex chars of md5(w)
+    # as a 60-bit big-endian value (textops.simhash64); bit i of that
+    # value lives in hex digit 15 - i//4 at bit position i % 4.
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN (("
+        + _hex_digit("h", 15 - i // 4)
+        + f" >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for i in range(60)
+    )
+    q["simhash"] = f"""
+WITH toks AS (
+  SELECT doc, md5(w) AS h
+  FROM (SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents),
+       unnest(ws) AS t(w)
+),
+bits AS (SELECT doc, {bit_sums} FROM toks GROUP BY doc),
+fp AS (SELECT doc, {fp_terms} AS simhash FROM bits)
+SELECT d.doc_id AS doc,
+       coalesce(fp.simhash, CAST(0 AS BIGINT)) AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc
+"""
+
+    # multimodal fake-decode parity: metadata derives from md5 of the
+    # utf-8 payload (kgforge.multimodal._fake_decode).
+    m0, m1, m2 = (_hex_byte("m", i) for i in range(3))
+    q["multimodal_decode"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5(coalesce(text, '')) AS m
+  FROM documents
+)
+SELECT asset_id, kind,
+       CAST(16 + {m0} AS INTEGER) AS width,
+       CAST(16 + {m1} AS INTEGER) AS height,
+       CAST(CASE WHEN kind = 'image' THEN 1
+                 ELSE 1 + ({m2} % 64) END AS INTEGER) AS n_frames
+FROM base
 """
 
     q["knn_join"] = """
@@ -295,6 +366,40 @@ FROM (
             ORDER BY score DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 3
+"""
+
+    # vector LSH bucket top-k parity: the md5-seeded hyperplanes are
+    # deterministic (kgforge.similarity._hyperplanes), so the SAME
+    # plane constants are embedded as SQL literals; the query bucket
+    # and the per-row buckets are computed with identical sign logic.
+    from kgforge.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+
+    def _bucket_expr(vec: str) -> str:
+        bits = []
+        for p in range(8):
+            lits = ", ".join(repr(float(x)) for x in planes[p])
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec}, [{lits}]) > 0 "
+                f"THEN {1 << (7 - p)} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    q["vector_lsh_topk"] = f"""
+WITH qv AS (
+  SELECT embedding AS v FROM embeddings WHERE vec_id = 0
+),
+qb AS (SELECT {_bucket_expr('v')} AS b FROM qv),
+cand AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {_bucket_expr('embedding')} = (SELECT b FROM qb)
+)
+SELECT vec_id AS id,
+       round(CAST(list_cosine_similarity(
+             embedding, (SELECT v FROM qv)) AS DOUBLE), 4) AS score
+FROM cand
+ORDER BY score DESC, id ASC LIMIT 10
 """
 
     return q

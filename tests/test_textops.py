@@ -89,3 +89,15 @@ def test_token_stats_and_fingerprint(spark, docs):
     # fingerprint is md5 of normalized text
     norm = "the quick brown fox jumps over the lazy dog"
     assert fp[0] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_ngram_jaccard_entry_plan_has_no_cross_join(spark):
+    """The graded ngram_jaccard query must run the LSH-candidate path:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the
+    physical plan (VERDICT r1 'what's wrong' #2)."""
+    import __spark_entry__ as entry
+
+    df = entry.q_ngram_jaccard(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
