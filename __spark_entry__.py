@@ -243,6 +243,121 @@ def q_multimodal_decode(spark, sf_dir):
     return decoded.select("asset_id", "kind", "width", "height", "n_frames")
 
 
+def q_kg_chunks_go(spark, sf_dir):
+    """C2: the Go declaration chunker over a deterministic synthesized
+    Go corpus (header + doc-commented func + const per document), run
+    through the real chunker UDF dispatch (golden contract:
+    handler/go_test.go:13-351)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    content = F.concat_ws(
+        "\n",
+        F.concat(F.lit("// Package p"), did, F.lit(" wraps doc "), did,
+                 F.lit(".")),
+        F.concat(F.lit("package p"), did),
+        F.lit(""),
+        F.lit("import ("),
+        F.lit('\t"fmt"'),
+        F.lit(")"),
+        F.lit(""),
+        F.lit("// Fingerprint returns the doc digest."),
+        F.lit("func Fingerprint() string {"),
+        F.concat(F.lit('\treturn "'), F.md5(txt), F.lit('"')),
+        F.lit("}"),
+        F.lit(""),
+        F.concat(F.lit("const docLen = "), F.length(txt).cast("string")),
+    )
+    repos = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(did, F.lit(".go")).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.lit("go").alias("lang"),
+        content.alias("content"),
+    )
+    from kgforge.chunking import build_chunks
+
+    chunks, _rejects = build_chunks(repos)
+    return chunks.select("chunk_id", "doc_id", "order_index", "content")
+
+
+def q_kg_summary(spark, sf_dir):
+    """E7: token-gated description summarization (insert.go:692-723)
+    fired inside an oracle-checked query.  Each entity mention carries
+    its whole document's word text as the description, so frequent
+    entities cross the 1200-token gate and get the deterministic
+    mock summary; rare ones keep their description arrays."""
+    from kgforge.merge import aggregate_entities, apply_description_summary
+    from kgforge.extraction import HEURISTIC_MIN_WORD_LEN
+
+    docs = _docs(spark, sf_dir)
+    words = textops._words(F.col("text"))
+    m = docs.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.array_join(words, " ").alias("description"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    words,
+                    lambda w: F.length(w) >= HEURISTIC_MIN_WORD_LEN,
+                )
+            )
+        ).alias("w"),
+    )
+    mentions = m.select(
+        F.upper("w").alias("entity_name"),
+        F.lit("UNKNOWN").alias("entity_type"),
+        "description",
+        F.concat(F.lit("doc-"), F.col("doc")).alias("chunk_id"),
+        F.col("doc").alias("order_key"),
+    )
+    # One synthetic RARE entity per document (appears once -> stays
+    # under the gate) so the query exercises BOTH E7 branches.
+    rare = docs.select(
+        F.concat(F.lit("UNIQ"), F.col("doc_id").cast("string")).alias(
+            "entity_name"
+        ),
+        F.lit("UNKNOWN").alias("entity_type"),
+        F.array_join(words, " ").alias("description"),
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "chunk_id"
+        ),
+        F.col("doc_id").cast("string").alias("order_key"),
+    )
+    nodes = apply_description_summary(
+        aggregate_entities(mentions.unionByName(rare)), "entity_id", 1200
+    )
+    return nodes.select(
+        "entity_id",
+        F.array_join("descriptions", SEP).alias("description"),
+        F.size("descriptions").cast("long").alias("n_descriptions"),
+        F.size("source_ids").cast("long").alias("n_sources"),
+    )
+
+
+def q_unembedded_chunks(spark, sf_dir):
+    """GetUnembeddedChunks (chunk_storage.go:9-30): chunks minus an
+    (simulated partial-backfill) embeddings table — doc_id % 3 == 0
+    plays 'already embedded'."""
+    from kgforge.embedding import unembedded_chunks
+
+    chunks, _, _ = _mentions(spark, sf_dir)
+    emb = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat_ws(
+                "", F.col("source"), F.lit(":"),
+                F.col("doc_id").cast("string"), F.lit("@HEAD-chunk-0"),
+            ).alias("id"),
+            F.lit("chunk").alias("kind"),
+        )
+    )
+    return unembedded_chunks(chunks, emb).select(
+        "chunk_id", "doc_id", "order_index"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (chunk -> extract -> canonicalize ->
     merge) on sf0.001; returns the materialized edge table."""
@@ -273,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "vector_lsh_topk": q_vector_lsh_topk,
         "multimodal_decode": q_multimodal_decode,
+        "kg_chunks_go": q_kg_chunks_go,
+        "kg_summary": q_kg_summary,
+        "unembedded_chunks": q_unembedded_chunks,
     }
 
 

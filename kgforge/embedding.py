@@ -63,6 +63,43 @@ def cosine_col(vec_col, query_vec: List[float]):
     )
 
 
+def unembedded_chunks(chunks: DataFrame, embeddings: DataFrame | None) -> DataFrame:
+    """GetUnembeddedChunks (chunk_storage.go:9-30): chunks lacking an
+    embedding row — the embed-backfill entry point.  One anti-join on
+    the chunk id; at scale both sides are bucketed on the same key so
+    the join co-locates."""
+    if embeddings is None:
+        return chunks
+    done = embeddings.filter(F.col("kind") == "chunk").select(
+        F.col("id").alias("chunk_id")
+    )
+    return chunks.join(done, "chunk_id", "left_anti")
+
+
+def backfill_chunk_embeddings(store) -> int:
+    """Embed-backfill loop body: find unembedded chunks, embed them,
+    upsert kind='chunk' embedding rows.  Returns rows written."""
+    chunks = store.read("chunks")
+    if chunks is None:
+        return 0
+    todo = unembedded_chunks(chunks, store.read("embeddings"))
+    rows = todo.select(
+        F.col("chunk_id").alias("id"),
+        F.lit("chunk").alias("kind"),
+        F.col("content").alias("text"),
+        embed_udf(F.col("content")).alias("vector"),
+        F.lit(MODEL_NAME).alias("model"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("dst"),
+    ).persist()
+    n = rows.count()
+    if n:
+        store.upsert("embeddings", rows, ["id", "kind"])
+    rows.unpersist()
+    return n
+
+
 def top_k(
     embeddings: DataFrame,
     query_vec: List[float],

@@ -19,6 +19,7 @@ from kgforge.extraction import (
     HEURISTIC_MAX_PAIR_ENTITIES,
     HEURISTIC_MIN_WORD_LEN,
 )
+from kgforge.schemas import SEP
 from kgforge.textops import EN_STOPWORDS
 
 _HEXD = "'0123456789abcdef'"
@@ -300,6 +301,107 @@ SELECT vec_id AS id,
              AS DOUBLE), 4) AS score
 FROM embeddings
 ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+    # C2 Go chunker parity over the synthesized Go corpus
+    # (__spark_entry__.q_kg_chunks_go): header = lines 1..(last import
+    # spec + 1); func chunk = package prefix + doc text + decl lines;
+    # const chunk = prefix + decl (go.go:56-157 semantics).
+    q["kg_chunks_go"] = """
+WITH g AS (
+  SELECT source || ':' || CAST(doc_id AS VARCHAR) || '.go@HEAD' AS doc_id,
+         CAST(doc_id AS VARCHAR) AS id,
+         md5(coalesce(text, '')) AS m,
+         length(coalesce(text, '')) AS n
+  FROM documents
+)
+SELECT doc_id || '-chunk-0' AS chunk_id, doc_id,
+       CAST(0 AS INTEGER) AS order_index,
+       '// Package p' || id || ' wraps doc ' || id || '.' || chr(10) ||
+       'package p' || id || chr(10) || chr(10) ||
+       'import (' || chr(10) || chr(9) || '"fmt"' || chr(10) || ')'
+         AS content
+FROM g
+UNION ALL
+SELECT doc_id || '-chunk-1', doc_id, CAST(1 AS INTEGER),
+       'package p' || id || chr(10) || chr(10) ||
+       'Fingerprint returns the doc digest.' || chr(10) ||
+       'func Fingerprint() string {' || chr(10) ||
+       chr(9) || 'return "' || m || '"' || chr(10) || '}'
+FROM g
+UNION ALL
+SELECT doc_id || '-chunk-2', doc_id, CAST(2 AS INTEGER),
+       'package p' || id || chr(10) || chr(10) ||
+       'const docLen = ' || CAST(n AS VARCHAR)
+FROM g
+"""
+
+    # E7 summary parity: descriptions are pure lowercase-word strings,
+    # so the vendored tokenizer counts are exactly word counts and each
+    # '<SEP>' join contributes 3 tokens ('<', 'SEP', '>').  Gate fires
+    # at >= 1200 joined tokens; the mock summary keeps the ordered
+    # description prefix within a 600-token budget (first always kept).
+    q["kg_summary"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, {_WORDS_EXPR} AS ws
+  FROM documents
+),
+docs2 AS (
+  SELECT doc, array_to_string(ws, ' ') AS description,
+         len(ws) AS ntok
+  FROM base
+),
+men AS (
+  SELECT DISTINCT upper(w) AS entity_id, b.doc
+  FROM base b, unnest(list_distinct(list_filter(
+         b.ws, x -> length(x) >= {HEURISTIC_MIN_WORD_LEN}))) AS t(w)
+  UNION ALL
+  SELECT 'UNIQ' || doc AS entity_id, doc FROM base
+),
+dm AS (
+  SELECT m.entity_id, d.description, d.ntok, MIN(m.doc) AS ord
+  FROM men m JOIN docs2 d ON m.doc = d.doc
+  GROUP BY m.entity_id, d.description, d.ntok
+),
+srcs AS (
+  SELECT entity_id, COUNT(DISTINCT doc) AS n_sources FROM men
+  GROUP BY entity_id
+),
+seq AS (
+  SELECT entity_id, description, ntok,
+         row_number() OVER w AS rn,
+         SUM(ntok) OVER (PARTITION BY entity_id ORDER BY ord
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY entity_id) AS k,
+         SUM(ntok) OVER (PARTITION BY entity_id) AS total
+  FROM dm
+  WINDOW w AS (PARTITION BY entity_id ORDER BY ord)
+),
+agg AS (
+  SELECT entity_id,
+         string_agg(description, '{SEP}' ORDER BY rn) AS joined_all,
+         string_agg(CASE WHEN rn = 1 OR cum <= 600 THEN description END,
+                    '{SEP}' ORDER BY rn) AS joined_kept,
+         MAX(k) AS k,
+         MAX(total + 3 * (k - 1)) AS joined_tokens
+  FROM seq GROUP BY entity_id
+)
+SELECT a.entity_id,
+       CASE WHEN joined_tokens >= 1200
+            THEN 'Summary of ' || a.entity_id || ': ' || joined_kept
+            ELSE joined_all END AS description,
+       CASE WHEN joined_tokens >= 1200 THEN 1 ELSE k END AS n_descriptions,
+       s.n_sources
+FROM agg a JOIN srcs s ON a.entity_id = s.entity_id
+"""
+
+    q["unembedded_chunks"] = KG_PRELUDE + """
+SELECT chunk_id, doc_id, CAST(0 AS INTEGER) AS order_index
+FROM docs
+WHERE chunk_id NOT IN (
+  SELECT source || ':' || CAST(doc_id AS VARCHAR) || '@HEAD-chunk-0'
+  FROM documents WHERE doc_id % 3 = 0
+)
 """
 
     # simhash64 parity: Spark takes the first 15 hex chars of md5(w)

@@ -239,3 +239,16 @@ def test_heuristic_extractor_deterministic():
                      "FENCES"}
     for rel in r1["relationships"]:
         assert rel["source_entity"] < rel["target_entity"]
+
+
+def test_summary_branch_fires_in_kg_summary_query(spark):
+    """E7 (insert.go:692-723): the oracle-checked kg_summary query must
+    exercise BOTH branches — gate fires (Summary of ...) for frequent
+    entities, arrays survive for rare ones."""
+    import __spark_entry__ as entry
+
+    df = entry.q_kg_summary(spark, "/root/testdata/sf0.001").toPandas()
+    fired = df[df.description.str.startswith("Summary of ")]
+    kept = df[~df.description.str.startswith("Summary of ")]
+    assert len(fired) > 0 and len(kept) > 0
+    assert (fired.n_descriptions == 1).all()

@@ -174,3 +174,28 @@ def test_incremental_merge_preserves_untouched_rows(spark, store):
         assert set(edges) == {("ALPHA", "GHOST"), ("BETA", "GHOST")}
     finally:
         del EXTRACTORS["_inc"]
+
+
+def test_unembedded_chunks_backfill(spark, store):
+    """GetUnembeddedChunks (chunk_storage.go:9-30) + backfill loop:
+    after run_insert (which embeds only entities/relationships), every
+    chunk is unembedded; one backfill pass embeds all; a second is a
+    no-op."""
+    from kgforge.embedding import backfill_chunk_embeddings, unembedded_chunks
+    from kgforge.pipeline import run_insert, PipelineConfig
+
+    docs = spark.createDataFrame(
+        [("r1", f"f{a}.txt", "c", "text", f"doc {a} about spark engines")
+         for a in range(5)],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    run_insert(spark, docs, store, PipelineConfig())
+    assert unembedded_chunks(
+        store.read("chunks"), store.read("embeddings")
+    ).count() == 5
+    assert backfill_chunk_embeddings(store) == 5
+    assert unembedded_chunks(
+        store.read("chunks"), store.read("embeddings")
+    ).count() == 0
+    assert backfill_chunk_embeddings(store) == 0
