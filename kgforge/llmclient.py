@@ -1,0 +1,144 @@
+"""Production LLM chat client: generic OpenAI-compatible HTTP API.
+
+Fills the reference's HTTP-client role (llm/openaicompat.go:1-222 —
+an OpenAI-compatible /chat/completions client; the anthropic.go and
+openrouter.go variants differ only in URL/headers/body shape) behind
+the existing pluggable ``ChatFn`` slot (kgforge/llm.py): a callable
+``histories: list[str] -> str`` where histories alternate
+user/assistant starting with user (the reference's message
+convention).
+
+stdlib-only (urllib) so it imports inside executor python workers
+with no extra dependencies.  Per-worker lifecycle: construct ONE
+client per partition inside the extraction UDF (see
+:func:`register_llm_extractor`) — the Spark analog of the reference's
+per-goroutine session.  Retry/backoff lives in
+:class:`kgforge.llm.LLMExtractor`, not here: this client raises on
+transport or API errors and the extractor's retry loop
+(insert.go:326-336 semantics) decides the policy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class ChatConfig:
+    """Connection settings — a plain picklable dataclass so it ships
+    into executor workers inside the UDF closure."""
+
+    base_url: str = "http://localhost:8000/v1"
+    api_key: str = ""
+    model: str = "gpt-4o-mini"
+    temperature: Optional[float] = 0.0
+    max_tokens: Optional[int] = None
+    timeout_seconds: float = 60.0
+    system_prompt: Optional[str] = None
+    extra_headers: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_env(cls) -> "ChatConfig":
+        """Standard OpenAI-compatible env config."""
+        return cls(
+            base_url=os.environ.get(
+                "OPENAI_BASE_URL", "http://localhost:8000/v1"
+            ),
+            api_key=os.environ.get("OPENAI_API_KEY", ""),
+            model=os.environ.get("KGFORGE_LLM_MODEL", "gpt-4o-mini"),
+        )
+
+
+class ChatError(RuntimeError):
+    """Transport or API failure; LLMExtractor's retry loop handles it."""
+
+
+class OpenAICompatClient:
+    """``ChatFn``-shaped client for any /chat/completions endpoint."""
+
+    def __init__(self, config: Optional[ChatConfig] = None):
+        self.config = config or ChatConfig()
+
+    def _messages(self, histories: List[str]) -> List[dict]:
+        msgs: List[dict] = []
+        if self.config.system_prompt:
+            msgs.append(
+                {"role": "system", "content": self.config.system_prompt}
+            )
+        for i, text in enumerate(histories):
+            role = "user" if i % 2 == 0 else "assistant"
+            msgs.append({"role": role, "content": text})
+        return msgs
+
+    def __call__(self, histories: List[str]) -> str:
+        cfg = self.config
+        body: dict = {
+            "model": cfg.model,
+            "messages": self._messages(histories),
+        }
+        if cfg.temperature is not None:
+            body["temperature"] = cfg.temperature
+        if cfg.max_tokens is not None:
+            body["max_tokens"] = cfg.max_tokens
+        url = cfg.base_url.rstrip("/") + "/chat/completions"
+        headers = {"Content-Type": "application/json"}
+        if cfg.api_key:
+            headers["Authorization"] = "Bearer " + cfg.api_key
+        headers.update(cfg.extra_headers)
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(body).encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(
+                req, timeout=cfg.timeout_seconds
+            ) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            detail = ""
+            try:
+                detail = e.read().decode("utf-8", "replace")[:500]
+            except Exception:  # noqa: BLE001
+                pass
+            raise ChatError(f"HTTP {e.code} from {url}: {detail}") from e
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            raise ChatError(f"transport error to {url}: {e}") from e
+        try:
+            return payload["choices"][0]["message"]["content"]
+        except (KeyError, IndexError, TypeError) as e:
+            raise ChatError(f"malformed response from {url}") from e
+
+
+def register_llm_extractor(
+    name: str = "llm",
+    config: Optional[ChatConfig] = None,
+    max_retries: int = 3,
+    backoff_seconds: float = 1.0,
+    glean_count: int = 0,
+) -> None:
+    """Register an HTTP-LLM extractor under ``EXTRACTORS[name]`` so
+    ``PipelineConfig(extractor=name)`` runs real-LLM extraction: one
+    client + extractor session per partition inside the Arrow-batched
+    UDF, the reference's llmExtractEntities control flow (retry,
+    backoff, glean) per chunk."""
+    from kgforge.extraction import EXTRACTORS
+    from kgforge.llm import LLMExtractor
+
+    cfg = config or ChatConfig.from_env()
+
+    def factory():
+        return LLMExtractor(
+            OpenAICompatClient(cfg),
+            max_retries=max_retries,
+            backoff_seconds=backoff_seconds,
+            glean_count=glean_count,
+        )
+
+    EXTRACTORS[name] = factory
