@@ -131,39 +131,136 @@ def _has_actual_content(text: str) -> bool:
     return bool(_CONTENT_RE.search(no_syntax))
 
 
+DEFAULT_MIN_CHUNK_SIZE = 100  # chars, markdown.go:42
+
+
+def _heading_level(line: str) -> int:
+    n = 0
+    while n < len(line) and line[n] == "#":
+        n += 1
+    return n
+
+
+def _merge_subsections(
+    sections: List[dict], content: str, max_chunk_size: int
+) -> List[dict]:
+    """HeaderHierarchy subsection merge (markdown.go:397-461): from
+    each section, absorb the run of following DEEPER-level sections
+    while the combined size stays within ``max_chunk_size``; the
+    merged text is the raw document slice (original spacing kept)."""
+    if len(sections) <= 1:
+        return sections
+    merged: List[dict] = []
+    i = 0
+    while i < len(sections):
+        cur = sections[i]
+        j = i + 1
+        total = len(cur["text"])
+        while j < len(sections):
+            nxt = sections[j]
+            if nxt["level"] <= cur["level"]:
+                break
+            if total + len(nxt["text"]) > max_chunk_size:
+                break
+            total += len(nxt["text"])
+            j += 1
+        if j > i + 1:
+            end = sections[j - 1]["end"]
+            merged.append(
+                {
+                    "blocks": [
+                        b for k in range(i, j) for b in sections[k]["blocks"]
+                    ],
+                    "start": cur["start"],
+                    "end": end,
+                    "level": cur["level"],
+                    "text": content[cur["start"]:end].strip(),
+                }
+            )
+            i = j
+        else:
+            merged.append(cur)
+            i += 1
+    return merged
+
+
+def _apply_overlap(
+    chunks: List[Tuple[str, int]], overlap_chars: int
+) -> List[Tuple[str, int]]:
+    """applyOverlap (markdown.go:534-570): prefix each chunk (except
+    the first) with the last ``overlap_chars`` characters of the
+    PREVIOUS chunk, trimmed forward to a word boundary, joined with a
+    single space.  StartPos stays the chunk's own position."""
+    if overlap_chars <= 0 or len(chunks) <= 1:
+        return chunks
+    out = [chunks[0]]
+    for i in range(1, len(chunks)):
+        prev_text = chunks[i - 1][0]
+        tail = (
+            prev_text[-overlap_chars:]
+            if len(prev_text) > overlap_chars
+            else prev_text
+        )
+        sp = tail.rfind(" ")
+        if sp > 0:
+            tail = tail[sp + 1:]
+        out.append((tail + " " + chunks[i][0], chunks[i][1]))
+    return out
+
+
 def chunk_markdown(
     content: str,
     max_chunk_size: int = DEFAULT_MAX_CHUNK_SIZE,
     overlap_chars: int = 0,
+    min_chunk_size: int = DEFAULT_MIN_CHUNK_SIZE,
+    header_hierarchy: bool = True,
 ) -> List[Tuple[str, int, int]]:
     """Chunk markdown; returns [(content, token_size, order_index)]
-    with order_index = char start position."""
+    with order_index = char start position.
+
+    Mirrors the reference defaults (markdown.go:40-56): HeaderHierarchy
+    on (small subsections merge into their parent while the combined
+    section fits), MinChunkSize=100 (a small trailing chunk merges into
+    its predecessor), OverlapSize opt-in (prev-chunk suffix prefix at a
+    word boundary)."""
     if not content or not content.strip():
         return []
     blocks = _blocks_with_offsets(content)
 
-    # group blocks into heading-delimited sections
-    sections: List[List[Tuple[int, str, str]]] = []
-    cur_sec: List[Tuple[int, str, str]] = []
+    # group blocks into heading-delimited sections with heading levels
+    sections: List[dict] = []
+    cur_blocks: List[Tuple[int, str, str]] = []
+    cur_level = 0
     for b in blocks:
-        if b[1] == "heading" and cur_sec:
-            sections.append(cur_sec)
-            cur_sec = [b]
+        if b[1] == "heading" and cur_blocks:
+            sections.append({"blocks": cur_blocks, "level": cur_level})
+            cur_blocks = [b]
+            cur_level = _heading_level(b[2])
         else:
-            cur_sec.append(b)
-    if cur_sec:
-        sections.append(cur_sec)
+            if not cur_blocks and b[1] == "heading":
+                cur_level = _heading_level(b[2])
+            cur_blocks.append(b)
+    if cur_blocks:
+        sections.append({"blocks": cur_blocks, "level": cur_level})
+    for sec in sections:
+        sec["start"] = sec["blocks"][0][0]
+        last_off, _, last_body = sec["blocks"][-1]
+        sec["end"] = last_off + len(last_body)
+        sec["text"] = "\n\n".join(b[2] for b in sec["blocks"])
+
+    if header_hierarchy:
+        sections = _merge_subsections(sections, content, max_chunk_size)
 
     chunks: List[Tuple[str, int]] = []  # (content, start_pos)
     for sec in sections:
-        sec_text = "\n\n".join(b[2] for b in sec)
-        sec_start = sec[0][0]
+        sec_text = sec["text"]
+        sec_start = sec["start"]
         if len(sec_text) <= max_chunk_size:
             chunks.append((sec_text, sec_start))
             continue
         # pack blocks greedily; paragraphs may split further
         pending: List[Tuple[int, str, str]] = []
-        for off, kind, body in sec:
+        for off, kind, body in sec["blocks"]:
             if kind in ("code", "table", "heading") or (
                 len(body) <= max_chunk_size
             ):
@@ -183,27 +280,29 @@ def chunk_markdown(
             for p in pieces:
                 pending.append((off + run, "para", p))
                 run += len(p) + 1
+        sec_chunks: List[Tuple[str, int]] = []
         cur_parts: List[Tuple[int, str]] = []
         cur_len = 0
         for off, kind, body in pending:
             if cur_parts and cur_len + len(body) + 2 > max_chunk_size:
                 text = "\n\n".join(p[1] for p in cur_parts)
-                chunks.append((text, cur_parts[0][0]))
-                if overlap_chars > 0:
-                    tail = text[-overlap_chars:]
-                    cur_parts = [(cur_parts[-1][0], tail)]
-                    cur_len = len(tail)
-                else:
-                    cur_parts, cur_len = [], 0
+                sec_chunks.append((text, cur_parts[0][0]))
+                cur_parts, cur_len = [], 0
             cur_parts.append((off, body))
             cur_len += len(body) + 2
         if cur_parts:
-            chunks.append(
-                ("\n\n".join(p[1] for p in cur_parts), cur_parts[0][0])
-            )
+            text = "\n\n".join(p[1] for p in cur_parts)
+            # small trailing chunk merges into the previous one
+            # (markdown.go:642-651)
+            if len(text) < min_chunk_size and sec_chunks:
+                prev_text, prev_start = sec_chunks[-1]
+                sec_chunks[-1] = (prev_text + "\n\n" + text, prev_start)
+            else:
+                sec_chunks.append((text, cur_parts[0][0]))
+        chunks.extend(sec_chunks)
 
-    return [
-        (text, count_tokens(text), start)
-        for text, start in chunks
-        if _has_actual_content(text)
+    chunks = [
+        (text, start) for text, start in chunks if _has_actual_content(text)
     ]
+    chunks = _apply_overlap(chunks, overlap_chars)
+    return [(text, count_tokens(text), start) for text, start in chunks]

@@ -117,3 +117,57 @@ def test_semantic_oversize_section_rechunked():
     chunks = chunk_semantic(text, max_tokens=100)
     assert len(chunks) > 1
     assert all(t <= 100 for _, t, _ in chunks)
+
+
+def test_markdown_header_hierarchy_merges_small_subsections():
+    """mergeSubsections (markdown.go:397-461): deeper-level sections
+    following a parent merge into it while the combined size fits."""
+    doc = (
+        "# Parent\n\nParent intro text.\n\n"
+        "## Child A\n\nSmall child a body.\n\n"
+        "## Child B\n\nSmall child b body.\n\n"
+        "# Sibling\n\nSibling body text here.\n"
+    )
+    merged = chunk_markdown(doc, max_chunk_size=400)
+    # parent + both children fit in one merged chunk; the level-1
+    # sibling breaks the merge run
+    assert len(merged) == 2
+    assert "Child A" in merged[0][0] and "Child B" in merged[0][0]
+    assert merged[1][0].startswith("# Sibling")
+
+    flat = chunk_markdown(doc, max_chunk_size=400, header_hierarchy=False)
+    assert len(flat) == 4  # every heading its own section
+
+    # merge stops when the combined size would exceed max_chunk_size:
+    # parent absorbs only Child A (29+31 <= 60), Child B stands alone
+    tight = chunk_markdown(doc, max_chunk_size=60)
+    assert len(tight) == 3
+    assert "Child A" in tight[0][0] and tight[1][0].startswith("## Child B")
+
+
+def test_markdown_char_overlap():
+    """applyOverlap (markdown.go:534-570): later chunks carry a
+    word-boundary suffix of their predecessor."""
+    text = "One sentence here. " * 30  # forces several chunks
+    plain = chunk_markdown(text, max_chunk_size=120)
+    with_ov = chunk_markdown(text, max_chunk_size=120, overlap_chars=20)
+    assert len(plain) == len(with_ov) > 1
+    for i in range(1, len(with_ov)):
+        prev_plain = plain[i - 1][0]
+        got = with_ov[i][0]
+        # prefix is a word-boundary suffix of the previous PLAIN chunk
+        prefix = got[: len(got) - len(plain[i][0]) - 1]
+        assert prev_plain.endswith(prefix)
+        assert got.endswith(plain[i][0])
+        # order_index (char start) unchanged by overlap
+        assert with_ov[i][2] == plain[i][2]
+
+
+def test_markdown_small_final_chunk_merges_into_previous():
+    """markdown.go:642-651: a trailing sub-min chunk appends to the
+    previous chunk instead of standing alone."""
+    body = ("Long enough sentence for packing purposes number one. " * 4)
+    doc = body + "\n\nTiny tail."
+    chunks = chunk_markdown(doc, max_chunk_size=230, min_chunk_size=100)
+    assert chunks[-1][0].endswith("Tiny tail.")
+    assert all(len(c[0]) >= 20 for c in chunks)
