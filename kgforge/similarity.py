@@ -139,6 +139,17 @@ def bucket_id_col(vec_col, dim: int, n_planes: int = 8):
     return bucket
 
 
+def query_bucket(query: Sequence[float], n_planes: int = 8) -> int:
+    """The query vector's LSH bucket under the deterministic planes —
+    same sign logic as :func:`bucket_id_col`."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(len(q), n_planes)
+    b = 0
+    for p in range(n_planes):
+        b = b * 2 + (1 if float(planes[p] @ q) > 0 else 0)
+    return b
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query: Sequence[float],
@@ -148,18 +159,44 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH
-    bucket.  At 100 TB the corpus is written bucketed/partitioned by
-    this key, so the scan prunes to ~1/2^n_planes of the data."""
+    bucket.  If ``embeddings`` already carries a ``bucket`` column
+    (the pre-bucketed table written by
+    :func:`write_bucketed_embeddings`), the filter becomes a partition
+    predicate and the scan PRUNES to ~1/2^n_planes of the data — the
+    100 TB path.  Otherwise the bucket is computed on the fly (full
+    scan, test scale)."""
     dim = len(query)
-    q = np.asarray(query, dtype=np.float64)
-    planes = _hyperplanes(dim, n_planes)
-    qbucket = 0
-    for p in range(n_planes):
-        qbucket = qbucket * 2 + (1 if float(planes[p] @ q) > 0 else 0)
-    candidates = embeddings.withColumn(
-        "bucket", bucket_id_col(F.col(vec_col), dim, n_planes)
-    ).filter(F.col("bucket") == qbucket)
+    qbucket = query_bucket(query, n_planes)
+    if "bucket" in embeddings.columns:
+        candidates = embeddings.filter(F.col("bucket") == qbucket)
+    else:
+        candidates = embeddings.withColumn(
+            "bucket", bucket_id_col(F.col(vec_col), dim, n_planes)
+        ).filter(F.col("bucket") == qbucket)
     return brute_force_topk(candidates, query, k, id_col, vec_col)
+
+
+def write_bucketed_embeddings(
+    path: str,
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the vector table partitioned by its LSH bucket
+    (``bucket=K`` directories).  Query-time ANN then reads ONLY the
+    query's bucket directory — partition pruning does the candidate
+    selection, no full scan.  One shuffle on the bucket key routes
+    each bucket to one task (bounded file counts, co-located)."""
+    df = embeddings.withColumn(
+        "bucket", bucket_id_col(F.col(vec_col), dim, n_planes)
+    )
+    (
+        df.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
 
 
 def make_cosine_matmul_udf(query_matrix: np.ndarray):
