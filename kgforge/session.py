@@ -55,6 +55,14 @@ def build_session(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             "true",
         )
+        # zstd halves parquet bytes vs snappy on text-heavy tables; the
+        # compression CPU is parallel while the saved disk bandwidth is
+        # the SHARED resource (single-disk sandbox; object-store quota
+        # at 100 TB) — a direct win for the non-scaling I/O floor.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("KGFORGE_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -190,9 +190,14 @@ class ParquetTableStore:
         new = df.withColumn(BUCKET_COL, self._bucket_expr(keys))
 
         if not self.exists(name):
-            new.repartition(self.n_buckets, F.col(BUCKET_COL)).write.mode(
-                "overwrite"
-            ).partitionBy(BUCKET_COL).parquet(tmp)
+            # Bulk load: write straight from the producing stage — no
+            # distribution shuffle (the table's full content through
+            # the shuffle layer is pure extra I/O on the bulk path).
+            # Each task writes one file per bucket it holds rows for;
+            # the pruned-merge path below coalesces each bucket to one
+            # file the first time it is touched (Iceberg parallel:
+            # bulk append now, compaction rides the first MERGE).
+            new.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
             return StagedWrite(
                 name=name, tmp_root=tmp, full_table=True, final=final,
                 buckets_touched=self.n_buckets, n_buckets=self.n_buckets,

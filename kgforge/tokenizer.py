@@ -55,8 +55,22 @@ _TOKEN_RE = re.compile(
 )
 
 
-def encode(text: str) -> List[str]:
-    """Tokenize ``text`` into a lossless list of token strings."""
+def encode(text: str) -> List:
+    """Tokenize ``text`` into a lossless token list.
+
+    With a real BPE vocabulary configured (``KGFORGE_BPE_PATH``
+    pointing at a public ``.tiktoken`` file — see :mod:`kgforge.bpe`)
+    tokens are tiktoken-exact integer ids; otherwise they are the
+    regex stand-in's token strings.  Both satisfy the contract the
+    chunkers rely on: ``decode(encode(t)) == t`` and slice-decode
+    reproduces the corresponding substring (BPE mode shares tiktoken's
+    caveat that a slice boundary can split a multi-byte character).
+    """
+    from kgforge.bpe import default_bpe
+
+    bpe = default_bpe()
+    if bpe is not None:
+        return bpe.encode(text)
     if not text:
         return []
     tokens: List[str] = []
@@ -72,8 +86,18 @@ def encode(text: str) -> List[str]:
     return tokens
 
 
-def decode(tokens: List[str]) -> str:
+def decode(tokens: List) -> str:
     """Inverse of :func:`encode`; also valid on any contiguous slice."""
+    if tokens and isinstance(tokens[0], int):
+        from kgforge.bpe import default_bpe
+
+        bpe = default_bpe()
+        if bpe is None:
+            raise RuntimeError(
+                "integer token ids but no BPE configured "
+                "(KGFORGE_BPE_PATH)"
+            )
+        return bpe.decode(tokens)
     return "".join(tokens)
 
 

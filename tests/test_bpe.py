@@ -1,0 +1,104 @@
+"""BPE engine tests (kgforge/bpe.py): tiktoken-format loading, the
+canonical lowest-rank merge loop, lossless round trips, and the
+tokenizer/chunker integration via KGFORGE_BPE_PATH."""
+
+import base64
+
+import pytest
+
+from kgforge.bpe import BPE, default_bpe, load_tiktoken_vocab
+
+
+def _toy_vocab():
+    """All 256 single bytes + a few multi-byte merges with ranks that
+    pin the merge ORDER (lower rank merges first)."""
+    vocab = {bytes([b]): b for b in range(256)}
+    r = 256
+    for tok in [b"he", b"ll", b"hell", b"hello", b"lo", b" wo", b"rld"]:
+        vocab[tok] = r
+        r += 1
+    return vocab
+
+
+def test_merge_order_lowest_rank_first():
+    bpe = BPE(_toy_vocab())
+    # 'hello': he(256) merges before ll(257); then hell(258), hello(259)
+    ids = bpe.encode("hello")
+    assert ids == [_toy_vocab()[b"hello"]]
+    # 'helo': he + lo
+    v = _toy_vocab()
+    assert bpe.encode("helo") == [v[b"he"], v[b"lo"]]
+
+
+def test_encode_decode_roundtrip_and_slices():
+    bpe = BPE(_toy_vocab())
+    text = "hello world, hello!"
+    ids = bpe.encode(text)
+    assert bpe.decode(ids) == text
+    # any contiguous slice decodes to the matching substring
+    joined = ""
+    for i in ids:
+        joined += bpe.decode([i])
+    assert joined == text
+
+
+def test_unicode_bytes_roundtrip():
+    bpe = BPE(_toy_vocab())
+    text = "héllo 🚀 中文"
+    assert bpe.decode(bpe.encode(text)) == text
+
+
+def test_incomplete_vocab_rejected():
+    vocab = {bytes([b]): b for b in range(255)}  # byte 255 missing
+    with pytest.raises(ValueError):
+        BPE(vocab)
+
+
+def test_load_tiktoken_format(tmp_path):
+    vocab = _toy_vocab()
+    path = tmp_path / "toy.tiktoken"
+    with open(path, "wb") as fh:
+        for tok, rank in vocab.items():
+            fh.write(base64.b64encode(tok) + b" " + str(rank).encode() + b"\n")
+    loaded = load_tiktoken_vocab(str(path))
+    assert loaded == vocab
+
+
+def test_tokenizer_routes_through_bpe(tmp_path, monkeypatch):
+    """With KGFORGE_BPE_PATH set, kgforge.tokenizer produces integer
+    ids and the sliding-window chunker contract still holds."""
+    vocab = _toy_vocab()
+    path = tmp_path / "toy.tiktoken"
+    with open(path, "wb") as fh:
+        for tok, rank in vocab.items():
+            fh.write(base64.b64encode(tok) + b" " + str(rank).encode() + b"\n")
+    monkeypatch.setenv("KGFORGE_BPE_PATH", str(path))
+    default_bpe.cache_clear()
+    try:
+        from kgforge import tokenizer
+        from kgforge.chunking import chunk_default
+
+        toks = tokenizer.encode("hello world hello")
+        assert toks and all(isinstance(t, int) for t in toks)
+        assert tokenizer.decode(toks) == "hello world hello"
+        assert tokenizer.count_tokens("hello") == 1
+
+        text = "hello world " * 50
+        chunks = chunk_default(text, max_tokens=40, overlap_tokens=10)
+        assert len(chunks) > 1
+        for content, token_size, _ in chunks:
+            assert token_size == tokenizer.count_tokens(content)
+        # windows cover the document (first chunk is a prefix)
+        assert text.startswith(chunks[0][0])
+    finally:
+        default_bpe.cache_clear()
+
+
+def test_no_bpe_falls_back_to_regex(monkeypatch):
+    monkeypatch.delenv("KGFORGE_BPE_PATH", raising=False)
+    default_bpe.cache_clear()
+    from kgforge import tokenizer
+
+    toks = tokenizer.encode("hello world")
+    assert all(isinstance(t, str) for t in toks)
+    assert tokenizer.decode(toks) == "hello world"
