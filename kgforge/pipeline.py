@@ -37,9 +37,8 @@ from pyspark.sql import functions as F
 from kgforge import checkpoint as ckpt
 from kgforge import merge as mrg
 from kgforge.canonicalize import HEURISTIC_ENTITY_TYPES, explode_mentions
-from kgforge.chunking import build_chunks, doc_id_col
+from kgforge.chunking import clean_content, doc_id_col
 from kgforge.embedding import MODEL_NAME, embed_udf
-from kgforge.extraction import extraction_col
 from kgforge.schemas import SEP
 from kgforge.store import ParquetTableStore
 
@@ -90,18 +89,100 @@ def documents_as_repos(docs: DataFrame) -> DataFrame:
     return out
 
 
+def extract_exploded(
+    repos: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """repos -> (exploded chunk+extraction rows, rejects).
+
+    ONE fused pandas UDF chunks AND extracts per document, so the
+    large content column crosses the JVM<->Python boundary once and
+    the plan has a single Python stage (see
+    extraction.make_chunk_extract_udf).  Persist the exploded frame:
+    chunks / entity mentions / relationship mentions all derive from
+    it with JVM-only operators (from_json + explode)."""
+    from kgforge.extraction import make_chunk_extract_udf
+
+    udf = make_chunk_extract_udf(
+        config.extractor,
+        config.chunk_max_tokens,
+        config.chunk_overlap_tokens,
+    )
+    base = (
+        repos.withColumn("doc_id", doc_id_col())
+        .withColumn("content_clean", clean_content(F.col("content")))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn(
+            "chunk_arr", udf(F.col("lang"), F.col("content_clean"))
+        )
+    )
+    rejects = base.filter(F.col("chunk_arr").isNull()).select(
+        "repo", "path", "commit", "lang", "doc_id", "content_sha"
+    )
+    exploded = (
+        base.filter(F.col("chunk_arr").isNotNull())
+        .select(
+            "repo",
+            "lang",
+            "doc_id",
+            "content_sha",
+            F.posexplode_outer("chunk_arr").alias("_pos", "chunk"),
+        )
+        .filter(F.col("chunk").isNotNull())
+        .select(
+            F.concat_ws(
+                "",
+                F.col("doc_id"),
+                F.lit("-chunk-"),
+                F.col("chunk.order_index").cast("string"),
+            ).alias("chunk_id"),
+            "doc_id",
+            "repo",
+            "lang",
+            F.col("chunk.order_index").alias("order_index"),
+            F.col("chunk.content").alias("content"),
+            F.col("chunk.token_size").alias("token_size"),
+            "content_sha",
+            F.col("chunk.extraction_json").alias("extraction_json"),
+        )
+    )
+    return exploded, rejects
+
+
+def parse_extraction(exploded: DataFrame) -> DataFrame:
+    """Parse the extraction JSON into the typed struct ONCE.  Persist
+    THIS frame (not the raw JSON one): every consumer — entity
+    mentions, relationship mentions, per-doc metric counts — then
+    explodes a cached struct instead of re-parsing ~KBs of JSON per
+    chunk per consumer."""
+    from kgforge.schemas import EXTRACTION_SCHEMA
+
+    return exploded.withColumn(
+        "extraction",
+        F.from_json(F.col("extraction_json"), EXTRACTION_SCHEMA),
+    ).drop("extraction_json")
+
+
+def chunks_of(extracted: DataFrame) -> DataFrame:
+    """CHUNKS_SCHEMA projection of the fused frame."""
+    return extracted.drop("extraction", "extraction_json")
+
+
+def mentions_of(
+    extracted: DataFrame, config: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(entity mentions, relationship mentions) — JVM-side explode
+    over the (cached) parsed frame."""
+    return explode_mentions(extracted, config.entity_types)
+
+
 def extract_mentions(
     repos: DataFrame, config: PipelineConfig
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """repos -> (chunks, rejects, entity_mentions, rel_mentions)."""
-    chunks, rejects = build_chunks(
-        repos, config.chunk_max_tokens, config.chunk_overlap_tokens
-    )
-    extracted = chunks.withColumn(
-        "extraction", extraction_col(F.col("content"), config.extractor)
-    )
-    ents, rels = explode_mentions(extracted, config.entity_types)
-    return chunks, rejects, ents, rels
+    exploded, rejects = extract_exploded(repos, config)
+    extracted = parse_extraction(exploded)
+    ents, rels = mentions_of(extracted, config)
+    return chunks_of(extracted), rejects, ents, rels
 
 
 def build_graph(
@@ -228,12 +309,16 @@ def run_insert(
             "docs_skipped": n_total,
         }
 
-    chunks, rejects, ents, rels = extract_mentions(
+    raw, rejects = extract_exploded(
         todo.drop("doc_id", "content_sha"), config
     )
-    chunks = chunks.persist()
-    ents = ents.persist()
-    rels = rels.persist()
+    # ONE cache for the fused chunk+extraction output, cached AFTER
+    # the JSON->struct parse: chunks, entity mentions, relationship
+    # mentions and the metric counts all derive from it with JVM-only
+    # explodes, so the Python stage AND the JSON parse run exactly once.
+    exploded = parse_extraction(raw).persist()
+    chunks = chunks_of(exploded)
+    ents, rels = mentions_of(exploded, config)
 
     # All table writes are STAGED (fully materialized to temp dirs)
     # and committed together at the end: the reference's crash window
@@ -341,6 +426,6 @@ def run_insert(
         "n_nodes": int(obs_nodes.get["n"]) if use_obs else nodes.count(),
         "n_edges": int(obs_edges.get["n"]) if use_obs else edges.count(),
     }
-    for df in (todo, chunks, ents, rels, nodes, edges):
+    for df in (todo, exploded, nodes, edges):
         df.unpersist()
     return metrics
