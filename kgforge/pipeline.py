@@ -325,6 +325,13 @@ def run_insert(
     # between "edges upserted" and "checkpoint written" — which would
     # double-count additive edge weights on resume (the sha-gate
     # re-admits the doc) — collapses to a rename loop.
+    #
+    # Independent staging actions run CONCURRENTLY (thread-submitted
+    # Spark jobs): the disk-bound chunks write and the small
+    # rejects/checkpoint jobs overlap the big merge shuffles instead
+    # of serializing after them — cores idle during a low-parallelism
+    # phase pick up the other jobs' tasks (on a real cluster this is
+    # standard concurrent-job-group scheduling).
     staged = [store.stage_upsert("chunks", chunks, ["chunk_id"])]
     # Rejects via anti-join of go docs vs produced chunks: avoids
     # re-running the chunker UDF lineage a second time just to find
@@ -336,7 +343,6 @@ def run_insert(
     rejected = go_docs.join(
         chunks.select("doc_id").distinct(), "doc_id", "left_anti"
     ).withColumn("status", F.lit("go-parse-error"))
-    staged.append(store.stage_upsert("rejects", rejected, ["doc_id"]))
 
     # Incremental merge: only graph rows whose key appears in the new
     # mentions enter the reduce (left-semi restriction).  Untouched
@@ -385,15 +391,6 @@ def run_insert(
         edges.observe(obs_edges, F.count(F.lit(1)).alias("n"))
         if use_obs else edges
     )
-    staged.append(store.stage_upsert("nodes", nodes_w, ["entity_id"]))
-    staged.append(store.stage_upsert("edges", edges_w, ["src", "dst"]))
-
-    if config.with_embeddings:
-        staged.append(
-            store.stage_upsert(
-                "embeddings", embedding_rows(nodes, edges), ["id", "kind"]
-            )
-        )
 
     # checkpoint: lineage + per-doc metrics
     docs = todo.select("doc_id", "repo", "lang", "content_sha")
@@ -411,7 +408,35 @@ def run_insert(
         ckpt_rows.observe(obs_ckpt, F.sum("n_chunks").alias("n_chunks"))
         if use_obs else ckpt_rows
     )
-    staged.append(store.stage_upsert("checkpoint", ckpt_w, ["doc_id"]))
+
+    # Stage the remaining tables concurrently (the exploded cache is
+    # already materialized by the chunks staging above, so no thread
+    # recomputes the Python stage).  nodes/edges/rejects/checkpoint
+    # are mutually independent writes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    stage_jobs = [
+        ("edges", lambda: store.stage_upsert(
+            "edges", edges_w, ["src", "dst"])),
+        ("nodes", lambda: store.stage_upsert(
+            "nodes", nodes_w, ["entity_id"])),
+        ("rejects", lambda: store.stage_upsert(
+            "rejects", rejected, ["doc_id"])),
+        ("checkpoint", lambda: store.stage_upsert(
+            "checkpoint", ckpt_w, ["doc_id"])),
+    ]
+    with ThreadPoolExecutor(max_workers=len(stage_jobs)) as pool:
+        futures = [pool.submit(fn) for _, fn in stage_jobs]
+        staged.extend(f.result() for f in futures)
+
+    if config.with_embeddings:
+        # after the nodes/edges caches exist (their staging actions
+        # materialized them) so the embed UDF reads cached graph rows
+        staged.append(
+            store.stage_upsert(
+                "embeddings", embedding_rows(nodes, edges), ["id", "kind"]
+            )
+        )
     # Single commit point: graph + lineage become visible together.
     store.commit(staged)
 

@@ -48,10 +48,15 @@ extra = {
     "spark.driver.memory": "8g",
 }
 if "x" in cpus:
-    # NO AlwaysPreTouch here: pre-touching a 12g heap stalls executor
-    # startup past the worker's patience, TERM -> relaunch loop
-    # (observed: 1596 executor launches in one run).
+    # NO AlwaysPreTouch on executors: pre-touching a 12g heap stalls
+    # executor startup past the worker's patience, TERM -> relaunch
+    # loop (observed round 1: 1596 executor launches in one run).
     extra["spark.executor.memory"] = "12g"
+    # An 8g driver measurably drags the multi-executor legs (GC +
+    # result/broadcast churn while coordinating 4 remote executors);
+    # give the coordinating driver the same heap as single-JVM mode.
+    extra["spark.driver.extraJavaOptions"] = "-Xms8g"
+    extra["spark.driver.memory"] = "24g"
 else:
     extra["spark.driver.extraJavaOptions"] = "-Xms24g -XX:+AlwaysPreTouch"
     extra["spark.driver.memory"] = "24g"
