@@ -358,6 +358,48 @@ def q_unembedded_chunks(spark, sf_dir):
     )
 
 
+def _graph(spark, sf_dir):
+    """Materialized (nodes, edges, chunks, embeddings) from the real
+    pipeline operators — the read-path queries' input."""
+    from kgforge.pipeline import embedding_rows
+
+    chunks, ents, rels = _mentions(spark, sf_dir)
+    nodes = aggregate_entities(ents)
+    edges = aggregate_relationships(rels)
+    return chunks, nodes, edges, embedding_rows(nodes, edges)
+
+
+def q_kg_local_entities(spark, sf_dir):
+    """Q3 localContext entity leg (query.go:202-264): feature-hash
+    embed the keywords, cosine top-5 ENTITY seeds, degree ref_count.
+    The deterministic md5 feature-hash embedder makes the whole
+    retrieval SQL-expressible."""
+    from kgforge.query import local_context
+
+    chunks, nodes, edges, emb = _graph(spark, sf_dir)
+    ent_ctx, _rel_ctx, _src_ctx = local_context(
+        "customer orders partition column stream", nodes, edges, chunks, emb,
+        k=5
+    )
+    return ent_ctx.select("name", "type", "description", "ref_count")
+
+
+def q_kg_global_relationships(spark, sf_dir):
+    """Q4 globalContext relationship leg (query.go:266-347):
+    relationship-embedding top-5 -> edge keys via the src/dst columns
+    -> deg(src)+deg(dst) ref_count."""
+    from kgforge.query import global_context
+
+    chunks, nodes, edges, emb = _graph(spark, sf_dir)
+    _ent_ctx, rel_ctx, _src_ctx = global_context(
+        "entities customer and orders", nodes, edges, chunks, emb, k=5
+    )
+    return rel_ctx.select(
+        "source", "target", "keywords", "description", "weight",
+        "ref_count",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (chunk -> extract -> canonicalize ->
     merge) on sf0.001; returns the materialized edge table."""
@@ -391,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks_go": q_kg_chunks_go,
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,
+        "kg_local_entities": q_kg_local_entities,
+        "kg_global_relationships": q_kg_global_relationships,
     }
 
 

@@ -63,15 +63,20 @@ def main() -> None:
     import shutil
     import tempfile
 
-    store_root = tempfile.mkdtemp(prefix="kgforge-bench-")
+    def run_pipeline_once(label):
+        store_root = tempfile.mkdtemp(prefix="kgforge-bench-")
+        timed(label, lambda: run_insert(
+            spark, documents_as_repos(docs),
+            ParquetTableStore(spark, store_root), PipelineConfig(),
+        ))
+        shutil.rmtree(store_root, ignore_errors=True)
 
-    def kg_pipeline():
-        store = ParquetTableStore(spark, store_root)
-        run_insert(spark, documents_as_repos(docs), store,
-                   PipelineConfig())
-
-    timed("kg_pipeline", kg_pipeline)
-    shutil.rmtree(store_root, ignore_errors=True)
+    # cold first run (includes JVM JIT + python worker fork/import),
+    # then the steady-state run — a long-lived ingest cluster operates
+    # in the second regime, so files_per_sec reports that one; the
+    # cold number stays visible as kg_pipeline_cold.
+    run_pipeline_once("kg_pipeline_cold")
+    run_pipeline_once("kg_pipeline")
 
     bench_queries = [
         "kg_entities",
@@ -90,6 +95,12 @@ def main() -> None:
         "knn_join",
         "vector_lsh_topk",
         "multimodal_decode",
+        "ngram_jaccard",
+        "kg_chunks_go",
+        "kg_summary",
+        "unembedded_chunks",
+        "kg_local_entities",
+        "kg_global_relationships",
     ]
     qmap = entrymod.queries()
     for name in bench_queries:

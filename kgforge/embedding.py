@@ -116,4 +116,9 @@ def top_k(
     )
     if threshold is not None:
         scored = scored.filter(F.col("score") > threshold)
-    return scored.orderBy(F.desc("score")).limit(k)
+    # deterministic tie-break on id so the seed SET is reproducible
+    # across runs/engines (score ties happen with short texts)
+    order = [F.desc("score")]
+    if "id" in embeddings.columns:
+        order.append(F.asc("id"))
+    return scored.orderBy(*order).limit(k)

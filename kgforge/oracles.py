@@ -470,6 +470,118 @@ FROM (
 ) WHERE rank <= 3
 """
 
+    # ----- Q3/Q4 read-path parity -------------------------------------
+    # The feature-hash embedder (kgforge.embedding.embed_text) is pure
+    # md5 arithmetic: token -> bucket = little-endian(md5[:4]) % 64,
+    # sign = md5[4] % 2.  So the WHOLE retrieval (embed -> cosine
+    # top-k seeds -> graph joins) is SQL-expressible; the query vector
+    # is computed here at SQL-gen time and embedded as literals.
+    from kgforge.embedding import embed_text
+
+    def _qvec_values(keywords: str) -> str:
+        q = embed_text(keywords)
+        rows = ", ".join(
+            f"({i}, {repr(float(v))})" for i, v in enumerate(q) if v != 0.0
+        )
+        return f"(VALUES {rows}) AS qv(idx, q)"
+
+    def _fh_vec_ctes(prefix: str, src_cte: str, key: str, text: str) -> str:
+        """CTE chain: {prefix}_vec (key, idx, v) + {prefix}_nrm."""
+        b = [f"CAST({_hex_byte('m', i)} AS BIGINT)" for i in range(5)]
+        idx = f"(({b[0]} + {b[1]}*256 + {b[2]}*65536 + {b[3]}*16777216) % 64)"
+        sgn = f"(CASE WHEN {b[4]} % 2 = 0 THEN 1 ELSE -1 END)"
+        return f"""
+{prefix}_tok AS (
+  SELECT {key} AS k, md5(t.tok) AS m
+  FROM {src_cte}, unnest(string_split(lower({text}), ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+{prefix}_vec AS (
+  SELECT k, {idx} AS idx, CAST(SUM({sgn}) AS DOUBLE) AS v
+  FROM {prefix}_tok GROUP BY k, {idx}
+),
+{prefix}_nrm AS (
+  SELECT k, sqrt(SUM(v * v)) AS nrm FROM {prefix}_vec GROUP BY k
+)"""
+
+    deg_cte = """
+deg AS (
+  SELECT entity_id, CAST(COUNT(*) AS INTEGER) AS degree FROM (
+    SELECT src AS entity_id FROM edges
+    UNION ALL SELECT dst FROM edges
+  ) GROUP BY entity_id
+)"""
+
+    q["kg_local_entities"] = KG_PRELUDE + f""",
+ents_d AS (
+  SELECT DISTINCT entity_name AS entity_id, {_TYPE_CASE} AS entity_type
+  FROM words
+),
+{_fh_vec_ctes("e", "ents_d",
+              "entity_id",
+              "entity_id || 'Entity ' || entity_id").lstrip()},
+dot AS (
+  SELECT v.k, SUM(v.v * qv.q) AS d
+  FROM e_vec v
+  JOIN {_qvec_values("customer orders partition column stream")} ON v.idx = qv.idx
+  GROUP BY v.k
+),
+-- every entity ranks, including zero-overlap (dot 0) ones — the
+-- engine's top-k scores the whole collection
+score AS (
+  SELECT d2.entity_id,
+         coalesce(dot.d, 0.0) / n.nrm AS score
+  FROM ents_d d2
+  LEFT JOIN dot ON dot.k = d2.entity_id
+  JOIN e_nrm n ON n.k = d2.entity_id
+),
+seeds AS (
+  SELECT entity_id FROM score ORDER BY score DESC, entity_id ASC LIMIT 5
+),
+{deg_cte.lstrip()}
+SELECT s.entity_id AS name,
+       d2.entity_type AS type,
+       'Entity ' || s.entity_id AS description,
+       CAST(coalesce(deg.degree, 0) AS INTEGER) AS ref_count
+FROM seeds s
+JOIN ents_d d2 ON d2.entity_id = s.entity_id
+LEFT JOIN deg ON deg.entity_id = s.entity_id
+"""
+
+    q["kg_global_relationships"] = KG_PRELUDE + f""",
+rel_d AS (
+  SELECT CAST(length(src) AS VARCHAR) || '|' || src || '|' || dst AS id,
+         src, dst, weight, description
+  FROM edges
+),
+{_fh_vec_ctes("r", "rel_d", "id",
+              "'COOCCURS' || src || dst || description").lstrip()},
+rdot AS (
+  SELECT v.k, SUM(v.v * qv.q) AS d
+  FROM r_vec v
+  JOIN {_qvec_values("entities customer and orders")} ON v.idx = qv.idx
+  GROUP BY v.k
+),
+score AS (
+  SELECT r2.id, coalesce(rdot.d, 0.0) / n.nrm AS score
+  FROM rel_d r2
+  LEFT JOIN rdot ON rdot.k = r2.id
+  JOIN r_nrm n ON n.k = r2.id
+),
+seeds AS (SELECT id FROM score ORDER BY score DESC, id ASC LIMIT 5),
+{deg_cte.lstrip()}
+SELECT r.src AS source, r.dst AS target,
+       'COOCCURS' AS keywords,
+       r.description,
+       r.weight,
+       CAST(coalesce(ds.degree, 0) + coalesce(dd.degree, 0) AS INTEGER)
+         AS ref_count
+FROM seeds s
+JOIN rel_d r ON r.id = s.id
+LEFT JOIN deg ds ON ds.entity_id = r.src
+LEFT JOIN deg dd ON dd.entity_id = r.dst
+"""
+
     # vector LSH bucket top-k parity: the md5-seeded hyperplanes are
     # deterministic (kgforge.similarity._hyperplanes), so the SAME
     # plane constants are embedded as SQL literals; the query bucket

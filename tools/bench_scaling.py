@@ -137,14 +137,25 @@ def main() -> None:
             r = run_one(cpus, n_files)
             results[cpus].append(r)
             print(r)
+    def mean(xs):
+        return sum(xs) / len(xs)
+
     best_s = max(x["files_per_sec"] for x in results[n_small])
     best_b = max(x["files_per_sec"] for x in results[n_big])
-    eff = (best_b / best_s) / factor
+    mean_s = mean([x["files_per_sec"] for x in results[n_small]])
+    mean_b = mean([x["files_per_sec"] for x in results[n_big]])
+    # mean-of-repeats is the headline: single legs vary +-25% on this
+    # shared-host sandbox, and pairing the luckiest small leg with the
+    # luckiest big leg biases the ratio down (or up) arbitrarily.
+    eff = (mean_b / mean_s) / factor
     summary = {
         "n_files": n_files,
-        f"throughput_local{n_small}_files_per_sec": best_s,
-        f"throughput_local{n_big}_files_per_sec": best_b,
+        f"throughput_local{n_small}_files_per_sec": round(mean_s, 2),
+        f"throughput_local{n_big}_files_per_sec": round(mean_b, 2),
+        f"best_local{n_small}": best_s,
+        f"best_local{n_big}": best_b,
         f"scaling_efficiency_{n_small}_to_{n_big}": round(eff, 3),
+        "repeats": repeats,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -162,8 +173,9 @@ def main() -> None:
                     f"| {r['files_per_sec']} |\n"
                 )
         f.write(
-            f"\nscaling efficiency ({n_small}->{n_big} cores) = "
-            f"({best_b:.1f}/{best_s:.1f})/{factor:.0f} = **{eff:.3f}** "
+            f"\nscaling efficiency ({n_small}->{n_big} cores, mean of "
+            f"{repeats} repeat(s)) = ({mean_b:.1f}/{mean_s:.1f})"
+            f"/{factor:.0f} = **{eff:.3f}** "
             f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
         )
 

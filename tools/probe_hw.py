@@ -1,0 +1,55 @@
+"""Hardware scaling probes for BENCH.md: how do raw CPU work and raw
+disk writes scale from 4 -> 16 concurrent workers on this box?  The
+pipeline's efficiency ceiling is whichever resource does NOT scale."""
+
+import hashlib
+import json
+import os
+import sys
+import tempfile
+import time
+from multiprocessing import Pool
+
+
+def cpu_task(_):
+    h = b"x" * 4096
+    for _ in range(3000):
+        h = hashlib.md5(h).digest() + b"y" * 4090
+    return 1
+
+
+def disk_task(i):
+    path = os.path.join(tempfile.gettempdir(), f"probe-{os.getpid()}-{i}")
+    blob = os.urandom(4 * 1024 * 1024)
+    with open(path, "wb") as fh:
+        for _ in range(16):  # 64 MB per task
+            fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.remove(path)
+    return 1
+
+
+def run(task, workers, n_tasks):
+    with Pool(workers) as p:
+        t0 = time.perf_counter()
+        p.map(task, range(n_tasks))
+        return time.perf_counter() - t0
+
+
+def main():
+    out = {}
+    for name, task, n in (("cpu_md5", cpu_task, 512), ("disk_write_fsync", disk_task, 32)):
+        t4 = run(task, 4, n)
+        t16 = run(task, 16, n)
+        out[name] = {
+            "t_4workers_sec": round(t4, 2),
+            "t_16workers_sec": round(t16, 2),
+            "speedup_4_to_16": round(t4 / t16, 2),
+            "efficiency": round(t4 / t16 / 4, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
