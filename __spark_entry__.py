@@ -3,10 +3,10 @@
 ``entry(spark)`` runs the flagship KG-construction pipeline on
 sf0.001.  ``queries()`` exposes one callable per implemented operator
 (SURVEY.md §2 + the training-data extensions); ``oracle_sql()`` gives
-the DuckDB-equivalent SQL (kgforge/oracles.py) for everything
-SQL-expressible — the remaining entries get rows-only checks
-(simhash / LSH-vector / multimodal, which hinge on engine-specific
-hash or UDF plumbing).
+the DuckDB-equivalent SQL (kgforge/oracles.py) for EVERY entry —
+including the hash-heavy ones (simhash / vector LSH / multimodal fake
+decode / feature-hash retrieval), whose md5-derived semantics are
+reproduced in SQL via hex-digit arithmetic and embedded constants.
 """
 
 from __future__ import annotations
@@ -384,6 +384,21 @@ def q_kg_local_entities(spark, sf_dir):
     return ent_ctx.select("name", "type", "description", "ref_count")
 
 
+def q_kg_local_sources(spark, sf_dir):
+    """Q6a entitiesRankedSources inside localContext
+    (query.go:419-478): seed entities' source chunks start at count 0
+    and gain +1 for each RELATED entity (1-hop endpoints minus seeds)
+    whose source list contains them."""
+    from kgforge.query import local_context
+
+    chunks, nodes, edges, emb = _graph(spark, sf_dir)
+    _ent_ctx, _rel_ctx, src_ctx = local_context(
+        "customer orders partition column stream", nodes, edges, chunks,
+        emb, k=5,
+    )
+    return src_ctx.select("content", "source_id", "ref_count")
+
+
 def q_kg_global_relationships(spark, sf_dir):
     """Q4 globalContext relationship leg (query.go:266-347):
     relationship-embedding top-5 -> edge keys via the src/dst columns
@@ -434,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,
         "kg_local_entities": q_kg_local_entities,
+        "kg_local_sources": q_kg_local_sources,
         "kg_global_relationships": q_kg_global_relationships,
     }
 

@@ -548,6 +548,64 @@ JOIN ents_d d2 ON d2.entity_id = s.entity_id
 LEFT JOIN deg ON deg.entity_id = s.entity_id
 """
 
+    # Q6a inside localContext: same seed chain as kg_local_entities,
+    # then seed source chunks counted by occurrences across RELATED
+    # (1-hop-minus-seed) entities' source lists (query.go:419-478).
+    _local_seed_ctes = f"""
+ents_d AS (
+  SELECT DISTINCT entity_name AS entity_id, {_TYPE_CASE} AS entity_type
+  FROM words
+),
+{_fh_vec_ctes("e", "ents_d",
+              "entity_id",
+              "entity_id || 'Entity ' || entity_id").lstrip()},
+dot AS (
+  SELECT v.k, SUM(v.v * qv.q) AS d
+  FROM e_vec v
+  JOIN {_qvec_values("customer orders partition column stream")}
+    ON v.idx = qv.idx
+  GROUP BY v.k
+),
+score AS (
+  SELECT d2.entity_id,
+         coalesce(dot.d, 0.0) / n.nrm AS score
+  FROM ents_d d2
+  LEFT JOIN dot ON dot.k = d2.entity_id
+  JOIN e_nrm n ON n.k = d2.entity_id
+),
+seeds AS (
+  SELECT entity_id FROM score ORDER BY score DESC, entity_id ASC LIMIT 5
+)"""
+
+    q["kg_local_sources"] = KG_PRELUDE + f""",
+{_local_seed_ctes.lstrip()},
+onehop AS (
+  SELECT src, dst FROM edges e
+  WHERE src IN (SELECT entity_id FROM seeds)
+     OR dst IN (SELECT entity_id FROM seeds)
+),
+related AS (
+  SELECT DISTINCT eid FROM (
+    SELECT src AS eid FROM onehop UNION ALL SELECT dst FROM onehop
+  ) WHERE eid NOT IN (SELECT entity_id FROM seeds)
+),
+seeded_sids AS (
+  SELECT DISTINCT w.chunk_id AS source_id
+  FROM words w JOIN seeds s ON w.entity_name = s.entity_id
+),
+rel_occ AS (
+  SELECT w.chunk_id AS source_id, COUNT(*) AS occ
+  FROM words w JOIN related r ON w.entity_name = r.eid
+  GROUP BY w.chunk_id
+)
+SELECT trim(d.text, ' ' || chr(9) || chr(10) || chr(13)) AS content,
+       ss.source_id,
+       CAST(coalesce(ro.occ, 0) AS INTEGER) AS ref_count
+FROM seeded_sids ss
+JOIN docs d ON d.chunk_id = ss.source_id
+LEFT JOIN rel_occ ro ON ro.source_id = ss.source_id
+"""
+
     q["kg_global_relationships"] = KG_PRELUDE + f""",
 rel_d AS (
   SELECT CAST(length(src) AS VARCHAR) || '|' || src || '|' || dst AS id,
