@@ -199,3 +199,43 @@ def test_unembedded_chunks_backfill(spark, store):
         store.read("chunks"), store.read("embeddings")
     ).count() == 0
     assert backfill_chunk_embeddings(store) == 0
+
+
+def test_fused_udf_matches_standalone_chunker(spark):
+    """Regression guard: the fused chunk+extract UDF must produce
+    exactly the chunks build_chunks produces (same pure functions on
+    both paths), including Go dispatch and reject routing."""
+    from kgforge.chunking import build_chunks
+    from kgforge.pipeline import (
+        PipelineConfig,
+        chunks_of,
+        extract_exploded,
+        parse_extraction,
+    )
+
+    repos = spark.createDataFrame(
+        [
+            ("r1", "a.go", "c", "go",
+             "package a\n\nfunc F() int {\n\treturn 1\n}"),
+            ("r1", "b.txt", "c", "text", "plain text about spark " * 40),
+            ("r1", "c.md", "c", "markdown", "# T\n\nBody text here."),
+            ("r1", "bad.go", "c", "go", "not valid go"),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    cfg = PipelineConfig(chunk_max_tokens=64, chunk_overlap_tokens=16)
+    exploded, rejects_f = extract_exploded(repos, cfg)
+    fused_chunks = chunks_of(parse_extraction(exploded))
+    plain_chunks, rejects_p = build_chunks(repos, 64, 16)
+
+    cols = ["chunk_id", "order_index", "content", "token_size",
+            "content_sha"]
+    f = sorted(tuple(r) for r in fused_chunks.select(*cols).collect())
+    p = sorted(tuple(r) for r in plain_chunks.select(*cols).collect())
+    assert f == p and len(f) > 3
+    assert (
+        {r.doc_id for r in rejects_f.collect()}
+        == {r.doc_id for r in rejects_p.collect()}
+        == {"r1:bad.go@c"}
+    )
