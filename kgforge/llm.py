@@ -49,35 +49,96 @@ class ExtractionPromptData:
     examples: Sequence[dict] = field(default_factory=list)
 
 
+_OUTPUT_SHAPE = """{
+  "entities": [
+    {
+      "entity_name": string,
+      "entity_type": string (one of the provided entity types ONLY),
+      "entity_description": string
+    }
+  ],
+  "relationships": [
+    {
+      "source_entity": string,
+      "target_entity": string,
+      "relationship_description": string,
+      "relationship_keywords": array of strings,
+      "relationship_strength": number (1-10)
+    }
+  ]
+}"""
+
+
+def _steps_section(data: ExtractionPromptData) -> str:
+    """The numbered step block — same slot/step structure as the
+    reference template (prompt.go:71-156), original wording."""
+    types = ", ".join(data.entity_types)
+    return f"""---Steps---
+1. Find every entity in the input text. For each one record:
+- entity_name: the entity's name, in the same language as the text; \
+capitalize it when the language is {data.language}.
+- entity_type: pick EXACTLY one value from this list, verbatim \
+(no plurals, synonyms or new types): [{types}]
+- entity_description: a thorough description of what the entity is \
+and what it does in the text.
+
+2. Go through the entities from step 1 and list every \
+(source_entity, target_entity) pair whose connection the text makes \
+clear. For each pair record:
+- source_entity: the source name exactly as written in step 1
+- target_entity: the target name exactly as written in step 1
+- relationship_description: why these two are connected
+- relationship_strength: an integer from 1 to 10 rating how strong \
+the connection is
+- relationship_keywords: one or more theme-level keywords that \
+capture the nature of the relationship (concepts, not details)
+
+3. Note the document's main themes as high-level keywords.
+
+4. Emit ONE valid JSON object shaped exactly like:
+{_OUTPUT_SHAPE}
+
+5. Output nothing but that JSON — no prose, no markdown fences, no \
+text before or after it."""
+
+
 def render_extract_prompt(data: ExtractionPromptData, text: str) -> str:
-    """Extraction prompt with the reference's slots (prompt.go:71-156)."""
+    """Extraction prompt with the reference's slot/step structure
+    (prompt.go:71-156): Goal, numbered Steps (field specs + 1-10
+    strength scale + strict-JSON rule), Examples rendered in the
+    output shape, then the Real Data section.  Wording is original."""
     examples = ""
     for i, ex in enumerate(data.examples):
+        out = ex.get("output", {})
         examples += (
-            f"\nExample {i + 1}:\nText:\n{ex.get('text', '')}\n"
-            f"Output:\n{json.dumps(ex.get('output', {}))}\n"
+            f"\nExample {i + 1}:\n\nText:\n{ex.get('text', '')}\n"
+            f"################\nOutput:\n"
+            f"{json.dumps(out, indent=2, ensure_ascii=False)}\n"
+            "#############################\n"
         )
     types = ", ".join(data.entity_types)
     return (
-        f"---Goal---\n{data.goal}\n"
-        f"Allowed entity types: [{types}]. Use language: {data.language}.\n"
-        "Return ONLY a JSON object of the form\n"
-        '{"entities": [{"entity_name", "entity_type", '
-        '"entity_description"}], '
-        '"relationships": [{"source_entity", "target_entity", '
-        '"relationship_description", "relationship_keywords", '
-        '"relationship_strength"}]}.\n'
-        f"---Examples---{examples}\n"
-        f"---Input---\n{text}\n"
+        f"---Goal---\n{data.goal}\n\n"
+        f"{_steps_section(data)}\n\n"
+        "######################\n---Examples---\n"
+        f"######################\n{examples}\n"
+        "#############################\n---Real Data---\n"
+        "######################\n"
+        f"Entity_types: [{types}]\n"
+        f"Text:\n{text}\n"
+        "######################\nOutput:"
     )
 
 
 def render_glean_prompt(data: ExtractionPromptData) -> str:
-    """Glean prompt (prompt.go:158-202): ask for missed entities."""
+    """Glean prompt (prompt.go:158-202): report the additions only,
+    with the step contract restated."""
     return (
-        "Some entities or relationships may have been missed in the "
-        "previous extraction. Add ONLY the missing ones, in the same "
-        "JSON format."
+        "A LOT of entities and relationships from the text are still "
+        "missing from the last answer. Identify the ones that were "
+        "missed — and ONLY those.\n\n---Remember Steps---\n"
+        + _steps_section(data)
+        + "\n\nOutput:"
     )
 
 

@@ -109,6 +109,22 @@ def test_prompt_contains_slots():
     for needle in ["find go symbols", "function, struct", "English",
                    "func A()", "package x"]:
         assert needle in p
+    # slot/step structure parity with the reference template
+    # (prompt.go:71-156): Goal, 5 numbered steps, 1-10 strength scale,
+    # strict-JSON rule, Examples and Real Data sections in order
+    for section in ["---Goal---", "---Steps---", "---Examples---",
+                    "---Real Data---", "Entity_types: [function, struct]"]:
+        assert section in p
+    for step in ["1. ", "2. ", "3. ", "4. ", "5. "]:
+        assert step in p
+    assert "1 to 10" in p and "relationship_strength" in p
+    assert p.index("---Goal---") < p.index("---Steps---") < p.index(
+        "---Examples---") < p.index("---Real Data---")
+    assert p.rstrip().endswith("Output:")
+    from kgforge.llm import render_glean_prompt
+
+    glean = render_glean_prompt(data)
+    assert "---Remember Steps---" in glean and "function, struct" in glean
 
 
 def test_extract_keywords_cleanup():
@@ -236,8 +252,8 @@ def _start_fake_openai_server(fail_first: int = 0):
                 m["content"] for m in body["messages"]
                 if m["role"] == "user"
             ][-1]
-            if "---Input---" in last_user:
-                text = last_user.split("---Input---")[-1]
+            if "---Real Data---" in last_user:
+                text = last_user.split("---Real Data---")[-1]
                 markers = _re.findall(r"MARK_(\w+)", text)
                 out = {
                     "entities": [
@@ -321,7 +337,7 @@ def test_http_llm_client_retries_then_succeeds():
         )
         ex = LLMExtractor(client, max_retries=3, backoff_seconds=0.0,
                           sleep=lambda s: None)
-        out = ex("text ---Input--- MARK_Gamma")
+        out = ex("text with MARK_Gamma inside")
         assert [e["entity_name"] for e in out["entities"]] == ["Gamma"]
         assert state["requests"] >= 3  # 1 failed + extract + glean
     finally:
