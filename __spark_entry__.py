@@ -232,6 +232,14 @@ def q_vector_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, qv, 10)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
+    cosine verify >= 0.4 — never an all-pairs join."""
+    from kgforge.similarity import embedding_near_dup
+
+    return embedding_near_dup(_emb(spark, sf_dir), 0.4, 4)
+
+
 def q_multimodal_decode(spark, sf_dir):
     from kgforge.multimodal import decode_assets
 
@@ -448,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "knn_join": q_knn_join,
         "vector_lsh_topk": q_vector_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "kg_chunks_go": q_kg_chunks_go,
         "kg_summary": q_kg_summary,

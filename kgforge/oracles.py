@@ -658,6 +658,30 @@ LEFT JOIN deg dd ON dd.entity_id = r.dst
             )
         return "(" + " + ".join(bits) + ")"
 
+    def _bucket4(vec: str) -> str:
+        planes4 = _hyperplanes(64, 4)
+        bits = []
+        for p in range(4):
+            lits = ", ".join(repr(float(x)) for x in planes4[p])
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec}, [{lits}]) > 0 "
+                f"THEN {1 << (3 - p)} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    q["embedding_near_dup"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket4('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(a.embedding, c.embedding)
+             AS DOUBLE), 4) AS score
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(CAST(list_cosine_similarity(a.embedding, c.embedding)
+            AS DOUBLE), 4) >= 0.4
+"""
+
     q["vector_lsh_topk"] = f"""
 WITH qv AS (
   SELECT embedding AS v FROM embeddings WHERE vec_id = 0

@@ -199,6 +199,51 @@ def write_bucketed_embeddings(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the embedding-space
+    member of the dedup family (exact sha / MinHash+LSH / SimHash /
+    n-gram Jaccard / embedding cosine).
+
+    Scale shape mirrors the text LSH dedup: candidates must share a
+    random-hyperplane bucket (the self-join keys on the bucket, so the
+    quadratic blowup is bounded per bucket — never an all-pairs
+    join), then the exact cosine verifies ``>= threshold``.  With the
+    table pre-bucketed (:func:`write_bucketed_embeddings`) the join is
+    co-located on the partition key."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        bucket_id_col(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    joined = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.id") < F.col("c.id")),
+    )
+    dot = _dot(F.col("a.vec"), F.col("c.vec"))
+    score = F.round(
+        dot / (_norm(F.col("a.vec")) * _norm(F.col("c.vec"))), 4
+    )
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def make_cosine_matmul_udf(query_matrix: np.ndarray):
     """Vectorized scorer: for each corpus vector, scores against ALL
     query vectors in one numpy matmul per Arrow batch.  Returns
