@@ -94,6 +94,7 @@ def main() -> None:
         "embedding_topk",
         "knn_join",
         "vector_lsh_topk",
+        "embedding_near_dup",
         "multimodal_decode",
         "ngram_jaccard",
         "kg_chunks_go",

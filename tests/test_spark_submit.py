@@ -1,0 +1,52 @@
+"""Deployment-path smoke test: the north rule's literal shape —
+``spark-submit --py-files kgforge.zip cli.py ingest ...`` — run as a
+real subprocess from a directory where the package is NOT locally
+importable, so the zip shipping is what makes it work."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_py_files_ingest(spark, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    store_dir = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [("r1", f"f{a}.txt", "c", "text",
+          f"doc {a} about spark windows and streams") for a in range(8)],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    docs.write.parquet(corpus_dir)
+
+    workdir = tempfile.mkdtemp(prefix="submit-cwd-")
+    zip_path = shutil.make_archive(
+        os.path.join(workdir, "kgforge"), "zip", REPO, "kgforge"
+    )
+    cli_py = os.path.join(workdir, "job.py")
+    shutil.copy(os.path.join(REPO, "kgforge", "cli.py"), cli_py)
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # only the zip provides kgforge
+    env["KGFORGE_MASTER"] = "local[4]"
+    env["KGFORGE_DRIVER_MEM"] = "4g"
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         cli_py, "ingest", "--corpus", corpus_dir, "--store", store_dir],
+        capture_output=True, text=True, timeout=420, cwd=workdir, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert metrics["docs_processed"] == 8 and metrics["n_chunks"] == 8
+    # the store the submitted job wrote is readable here
+    assert spark.read.parquet(f"{store_dir}/nodes").count() > 0
