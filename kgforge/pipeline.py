@@ -447,6 +447,11 @@ def run_insert(
         "docs_total": n_total,
         "docs_processed": n_todo,
         "docs_skipped": n_total - n_todo,
+        # O(delta) observability: how many hash buckets each table
+        # write actually rewrote (incremental runs touch few)
+        "store_buckets_touched": {
+            s.name: s.buckets_touched for s in staged
+        },
         "n_chunks": (
             int(obs_ckpt.get["n_chunks"] or 0)
             if use_obs else chunks.count()
