@@ -101,3 +101,28 @@ def test_ngram_jaccard_entry_plan_has_no_cross_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidate_recall_vs_exact_ground_truth(spark):
+    """Measure, don't guess: with 16 hashes in 4x4 bands, the LSH
+    candidate set must contain EVERY pair whose true n-gram Jaccard
+    >= 0.5 on the harness corpus (recall 1.0 at this config; the
+    graded ngram_jaccard query depends on it)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in textops.ngram_jaccard_pairs(docs, 3, 0.5).collect()
+    }
+    sig = textops.minhash_signature_rows(textops.shingle_rows(docs), 16)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in textops.lsh_candidate_pairs(
+            textops.lsh_bands(sig, 4, 4)
+        ).collect()
+    }
+    assert exact, "ground truth must be non-empty for the test to bite"
+    missed = exact - cands
+    recall = 1 - len(missed) / len(exact)
+    assert recall == 1.0, f"LSH missed {missed} (recall {recall:.3f})"
