@@ -54,34 +54,87 @@ def sha_gate(
     return repos_with_ids.join(done, ["doc_id", "content_sha"], "left_anti")
 
 
+def fused_metric_counts(exploded: DataFrame) -> DataFrame:
+    """Per-doc (n_chunks, n_entities, n_relationships) in ONE
+    aggregation over the parsed chunk+extraction frame — higher-order
+    size/filter on the cached struct arrays instead of three separate
+    explode+groupBy passes.  Mention validity mirrors
+    canonicalize.explode_mentions (non-null, non-empty names)."""
+
+    def cond_expr(m, fields):
+        cond = None
+        for f in fields:
+            c = m[f].isNotNull() & (m[f] != "")
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    n_ents = F.when(
+        F.col("extraction.entities").isNotNull(),
+        F.size(
+            F.filter(
+                F.col("extraction.entities"),
+                lambda m: cond_expr(m, ["entity_name"]),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    n_rels = F.when(
+        F.col("extraction.relationships").isNotNull(),
+        F.size(
+            F.filter(
+                F.col("extraction.relationships"),
+                lambda m: cond_expr(m, ["source_entity", "target_entity"]),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(n_ents).alias("n_entities"),
+        F.sum(n_rels).alias("n_relationships"),
+    )
+
+
 def build_checkpoint_rows(
     docs: DataFrame,
     chunk_counts: DataFrame,
-    entity_counts: DataFrame,
-    relationship_counts: DataFrame,
+    entity_counts: Optional[DataFrame] = None,
+    relationship_counts: Optional[DataFrame] = None,
     status: str = "done",
     now: Optional[dt.datetime] = None,
 ) -> DataFrame:
     """Lineage + metrics rows, one per processed doc.
 
     docs: doc_id, repo, lang, content_sha.
-    *_counts: (doc_id, n) aggregates from the run.
+    Either pass ONE frame carrying (doc_id, n_chunks, n_entities,
+    n_relationships) — the :func:`fused_metric_counts` shape, a single
+    join — or the legacy three (doc_id, n) frames.
     """
     now = now or dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    base = docs.select(
+        "doc_id", "repo", "lang", "content_sha"
+    ).withColumn("partition_id", partition_id_col())
+    if entity_counts is None and relationship_counts is None:
+        joined = base.join(chunk_counts, "doc_id", "left")
+    else:
+        joined = (
+            base.join(
+                chunk_counts.withColumnRenamed("n", "n_chunks"),
+                "doc_id", "left",
+            )
+            .join(
+                entity_counts.withColumnRenamed("n", "n_entities"),
+                "doc_id",
+                "left",
+            )
+            .join(
+                relationship_counts.withColumnRenamed(
+                    "n", "n_relationships"
+                ),
+                "doc_id",
+                "left",
+            )
+        )
     return (
-        docs.select("doc_id", "repo", "lang", "content_sha")
-        .withColumn("partition_id", partition_id_col())
-        .join(chunk_counts.withColumnRenamed("n", "n_chunks"), "doc_id", "left")
-        .join(
-            entity_counts.withColumnRenamed("n", "n_entities"),
-            "doc_id",
-            "left",
-        )
-        .join(
-            relationship_counts.withColumnRenamed("n", "n_relationships"),
-            "doc_id",
-            "left",
-        )
+        joined
         .select(
             "partition_id",
             "repo",

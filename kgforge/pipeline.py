@@ -395,16 +395,12 @@ def run_insert(
         if use_obs else edges
     )
 
-    # checkpoint: lineage + per-doc metrics
+    # checkpoint: lineage + per-doc metrics — ONE aggregation over the
+    # cached fused frame (higher-order size/filter on the struct
+    # arrays) instead of three explode+groupBy passes
     docs = todo.select("doc_id", "repo", "lang", "content_sha")
-    chunk_counts = chunks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # mention counts (not distinct): map-side-combining counts are an
-    # order of magnitude cheaper than countDistinct shuffles and serve
-    # the same lineage/metrics purpose
-    ent_counts = ents.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rel_counts = rels.groupBy("doc_id").agg(F.count("*").alias("n"))
     ckpt_rows = ckpt.build_checkpoint_rows(
-        docs, chunk_counts, ent_counts, rel_counts, now=config.now
+        docs, ckpt.fused_metric_counts(exploded), now=config.now
     )
     obs_ckpt = Observation()
     ckpt_w = (
