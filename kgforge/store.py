@@ -159,6 +159,13 @@ class ParquetTableStore:
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
     ) -> None:
+        if self._is_bucketed(name):
+            # root-level files next to _bucket=K dirs would break
+            # partition discovery for every later read
+            raise ValueError(
+                f"table '{name}' is hash-bucketed; use upsert() "
+                "(keyed MERGE) instead of raw append"
+            )
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
