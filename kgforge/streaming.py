@@ -74,3 +74,83 @@ def run_incremental_ingest(
     )
     q.awaitTermination()
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator: exact dedup across micro-batches
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = (
+    "content_sha string, repo string, path string, lang string, "
+    "content string"
+)
+DEDUP_STATE_SCHEMA = "n_seen long"
+
+
+def _dedup_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: emit the FIRST row ever seen for a
+    content sha; swallow every later duplicate (state survives
+    micro-batches AND restarts via the stream checkpoint)."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    (n_seen,) = state.get if state.exists else (0,)
+    out = None
+    if n_seen == 0 and len(rows) > 0:
+        first = rows.sort_values("path").iloc[[0]]
+        out = first[
+            ["content_sha", "repo", "path", "lang", "content"]
+        ]
+    state.update((n_seen + len(rows),))
+    if out is not None:
+        yield out
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    corpus_dir: str,
+    stream_checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Streaming exact dedup as a CUSTOM STATEFUL OPERATOR
+    (``applyInPandasWithState``): one state row per content sha keeps
+    the dedup decision across micro-batches and restarts — the
+    streaming analog of :func:`kgforge.textops.exact_dedup` for a
+    training-data pipeline that must admit each document once no
+    matter how the corpus arrives.
+
+    Scale shape: state is partitioned by the sha key (uniform), the
+    per-group work is O(rows in batch), and the state store is
+    Spark's checkpointed HDFS/RocksDB backend — no driver-side set.
+    Drains available input (Trigger.AvailableNow) and appends
+    first-seen rows to ``out_dir``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(REPOS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = (
+        reader.load(corpus_dir)
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+    )
+    deduped = stream.groupBy("content_sha").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",  # each sha emits at most once, ever
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", stream_checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -82,3 +82,41 @@ def test_incremental_ingest_available_now(spark, tmp_path):
     m3 = run_incremental_ingest(spark, corpus_dir, store, ckpt)
     assert sum(x["docs_processed"] for x in m3) == 1
     assert store.read("checkpoint").count() == 2
+
+
+def test_streaming_stateful_exact_dedup(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): exact dedup
+    whose state survives micro-batches AND a stream restart via the
+    checkpoint — each content sha is admitted exactly once."""
+    import pyspark.sql.functions as F
+
+    from kgforge.streaming import streaming_exact_dedup
+
+    corpus = str(tmp_path / "corpus")
+    ckpt_dir = str(tmp_path / "ckpt")
+    out = str(tmp_path / "deduped")
+
+    def batch(rows, name):
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        ).coalesce(1).write.mode("append").parquet(corpus)
+
+    # batch 1: A, B, and a duplicate of A within the batch
+    batch([("r", "a1.txt", "c", "text", "content A"),
+           ("r", "b1.txt", "c", "text", "content B"),
+           ("r", "a2.txt", "c", "text", "content A")], "b1")
+    streaming_exact_dedup(spark, corpus, ckpt_dir, out)
+    got = {r.path for r in spark.read.parquet(out).collect()}
+    assert got == {"a1.txt", "b1.txt"}  # min-path representative
+
+    # restart with batch 2: duplicate of A again + new C -> state
+    # restored from checkpoint suppresses A, admits C
+    batch([("r", "a3.txt", "c", "text", "content A"),
+           ("r", "c1.txt", "c", "text", "content C")], "b2")
+    streaming_exact_dedup(spark, corpus, ckpt_dir, out)
+    rows = spark.read.parquet(out).collect()
+    assert {r.path for r in rows} == {"a1.txt", "b1.txt", "c1.txt"}
+    shas = [r.content_sha for r in rows]
+    assert len(shas) == len(set(shas)) == 3
