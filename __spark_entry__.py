@@ -255,6 +255,34 @@ def q_multimodal_decode(spark, sf_dir):
     return decoded.select("asset_id", "kind", "width", "height", "n_frames")
 
 
+def _assets(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def q_multimodal_feature_topk(spark, sf_dir):
+    """Multimodal decode -> fixed-width feature vectors -> cosine
+    top-k: proves the decoded features feed kgforge.similarity
+    unchanged (the fake features are md5-derived, so the whole chain
+    is oracle-checkable)."""
+    from kgforge.multimodal import decode_assets
+    from kgforge.similarity import brute_force_topk
+
+    decoded = decode_assets(_assets(spark, sf_dir), fake=True).persist()
+    qv = decoded.filter(F.col("asset_id") == "0").select(
+        "features"
+    ).head()[0]
+    return brute_force_topk(
+        decoded, qv, 10, id_col="asset_id", vec_col="features"
+    )
+
+
 def q_kg_chunks_go(spark, sf_dir):
     """C2: the Go declaration chunker over a deterministic synthesized
     Go corpus (header + doc-commented func + const per document), run
@@ -458,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_lsh_topk": q_vector_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_feature_topk": q_multimodal_feature_topk,
         "kg_chunks_go": q_kg_chunks_go,
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,

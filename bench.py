@@ -96,6 +96,7 @@ def main() -> None:
         "vector_lsh_topk",
         "embedding_near_dup",
         "multimodal_decode",
+        "multimodal_feature_topk",
         "ngram_jaccard",
         "kg_chunks_go",
         "kg_summary",

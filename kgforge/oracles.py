@@ -450,6 +450,26 @@ SELECT asset_id, kind,
 FROM base
 """
 
+    # multimodal features are md5-derived (byte i of md5(payload)
+    # / 255, FEATURE_DIM=16 = the digest length), so the decode ->
+    # similarity chain is fully SQL-expressible.
+    feat_list = "[" + ", ".join(
+        f"CAST({_hex_byte('m', i)} AS DOUBLE) / 255.0" for i in range(16)
+    ) + "]"
+    q["multimodal_feature_topk"] = f"""
+WITH feats AS (
+  SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+         {feat_list} AS f
+  FROM (SELECT doc_id, md5(coalesce(text, '')) AS m FROM documents)
+),
+qv AS (SELECT f FROM feats WHERE asset_id = '0')
+SELECT asset_id AS id,
+       round(CAST(list_cosine_similarity(f, (SELECT f FROM qv))
+             AS DOUBLE), 4) AS score
+FROM feats
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
     q["knn_join"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
