@@ -6,58 +6,73 @@ tables in one catalog namespace: ``chunks``, ``nodes``, ``edges``,
 ``embeddings``, ``checkpoint``, ``rejects``.
 
 Production target is Iceberg (``MERGE INTO`` upserts, hidden
-partitioning, ``write.distribution-mode=hash``).  This sandbox ships
-no Iceberg runtime jar, so the default backend reproduces the two
-properties that matter at 10^12-row scale on plain parquet:
+partitioning, snapshot commits).  This sandbox ships no Iceberg
+runtime jar, so the backend reproduces the three properties that
+matter at 10^12-row scale on plain parquet:
 
 1. **O(delta) upserts, not O(table).**  Every table is laid out in
-   ``N_BUCKETS`` hash buckets (directory partitions ``_bucket=K`` with
-   ``K = pmod(xxhash64(keys), N)``).  ``upsert`` prunes the read to
-   the buckets the new rows hash into, anti-joins only those rows,
-   and rewrites only those bucket directories.  An incremental batch
-   touching k keys costs O(k/N · |table|) I/O instead of O(|table|)
-   — the parquet emulation of Iceberg's MERGE + hash distribution.
-2. **Atomic (multi-table) commits.**  ``stage_upsert`` fully
-   materializes the merged buckets into a temp directory (every Spark
-   action completes BEFORE any old file moves — lazy readers of the
-   pre-commit state never observe missing files), and ``commit``
-   swaps the staged bucket directories in one tight rename loop.
-   ``run_insert`` stages all six tables and commits them together, so
-   the crash window between "graph written" and "checkpoint written"
-   collapses from six full write jobs to microseconds of renames
-   (Iceberg gives this per-table via snapshot commits).
+   ``N_BUCKETS`` hash-bucket directories (``K = pmod(xxhash64(keys),
+   N)``).  ``upsert`` reads ONLY the bucket directories the new rows
+   hash into (path-level pruning — untouched buckets are never even
+   listed), anti-joins only those rows, and writes new generation
+   directories for only those buckets.  An incremental batch touching
+   k keys costs O(k/N * |table|) I/O instead of O(|table|).
+2. **Atomic multi-table commits via a manifest** (Iceberg snapshot
+   semantics).  Readers never list table directories; they resolve
+   live data directories through ``_manifest/CURRENT`` -> a manifest
+   JSON mapping table -> {bucket -> generation dir}.  ``stage_upsert``
+   fully materializes new generation dirs (invisible until
+   referenced); ``commit`` writes ONE new manifest file and atomically
+   ``os.replace``s the CURRENT pointer.  A crash at ANY point leaves
+   either the complete old state or the complete new state — there is
+   no multi-rename window, and stale/orphaned directories are never
+   discoverable (round-2 ADVICE: the old in-place bucket swap could
+   leave a readable ``_bucket=K.old-*`` dir inside the table path).
+3. **Schema evolution.**  The live schema travels in the manifest
+   (like Iceberg metadata): upserts that add columns union-by-name
+   with null back-fill; untouched old-generation files are read
+   through the evolved schema (missing columns -> null) without a
+   footer-merge pass.  A type CHANGE on an existing column raises
+   loudly instead of silently corrupting.
 
-Single-writer invariant: concurrent upserts to the same table are not
+Single-writer invariant: concurrent upserts to the same store are not
 coordinated (the reference's storage layer has the same contract —
-one Insert loop per store).
+one Insert loop per store; reference upsert contract:
+neo.go:193-249 / kuzu.go:203-252).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 BUCKET_COL = "_bucket"
 DEFAULT_N_BUCKETS = 32
+MANIFEST_DIR = "_manifest"
+CURRENT = "CURRENT"
 
 
 @dataclass
 class StagedWrite:
-    """A fully-materialized pending write: data is on disk under
-    ``tmp_root``; ``swaps`` are (src_dir, dst_dir) renames that make
-    it live.  Stats feed the O(delta) assertions in tests."""
+    """A fully-materialized pending write.  Data directories are
+    already in their final location but INVISIBLE (no manifest
+    references them); ``entry`` is the new manifest entry that
+    :meth:`ParquetTableStore.commit` publishes, ``replaced_dirs`` are
+    the old generation dirs to garbage-collect after the commit.
+    Stats feed the O(delta) assertions in tests."""
 
     name: str
-    tmp_root: str
-    swaps: List[Tuple[str, str]] = field(default_factory=list)
-    full_table: bool = False
-    final: str = ""
+    entry: dict
+    replaced_dirs: List[str] = field(default_factory=list)
+    staged_dirs: List[str] = field(default_factory=list)
     buckets_touched: int = 0
     n_buckets: int = 0
 
@@ -75,50 +90,102 @@ class ParquetTableStore:
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
-        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # manifest plumbing
+    # ------------------------------------------------------------------
+
+    def _mdir(self) -> str:
+        return os.path.join(self.root, MANIFEST_DIR)
+
+    def _manifest(self) -> dict:
+        cur = os.path.join(self._mdir(), CURRENT)
+        if not os.path.exists(cur):
+            return {"version": 0, "tables": {}}
+        with open(cur) as fh:
+            name = fh.read().strip()
+        with open(os.path.join(self._mdir(), name)) as fh:
+            return json.load(fh)
+
+    def _replace(self, src: str, dst: str) -> None:
+        """The single atomicity point — one POSIX rename publishes the
+        whole multi-table commit.  Isolated for crash-injection
+        tests."""
+        os.replace(src, dst)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        manifest["version"] = int(manifest.get("version", 0)) + 1
+        name = "m-%08d-%s.json" % (manifest["version"], uuid.uuid4().hex[:8])
+        path = os.path.join(self._mdir(), name)
+        with open(path, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = os.path.join(
+            self._mdir(), CURRENT + ".tmp-" + uuid.uuid4().hex[:8]
+        )
+        with open(tmp, "w") as fh:
+            fh.write(name)
+            fh.flush()
+            os.fsync(fh.fileno())
+        self._replace(tmp, os.path.join(self._mdir(), CURRENT))
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    # ------------------------------------------------------------------
+    # catalog surface
+    # ------------------------------------------------------------------
+
     def exists(self, name: str) -> bool:
-        # One shallow listdir — no recursive metadata walk (an object
-        # store would charge per listed file).  A bare _SUCCESS marker
-        # does NOT count: an all-empty-partition write (e.g. zero
-        # rejects) leaves no readable footer, so the table logically
-        # doesn't exist yet.
-        p = self._path(name)
-        if not os.path.isdir(p):
-            return False
-        for entry in os.listdir(p):
-            if entry.startswith(BUCKET_COL + "=") or entry.endswith(
-                ".parquet"
-            ):
-                return True
-        return False
+        return name in self._manifest()["tables"]
 
     def _is_bucketed(self, name: str) -> bool:
-        p = self._path(name)
-        if not os.path.isdir(p):
-            return False
-        return any(
-            e.startswith(BUCKET_COL + "=") for e in os.listdir(p)
-        )
+        t = self._manifest()["tables"].get(name)
+        return bool(t) and t["layout"] == "bucketed"
 
-    def _read_raw(self, name: str) -> Optional[DataFrame]:
-        if not self.exists(name):
-            return None
-        return self.spark.read.parquet(self._path(name))
+    def _schema_of(self, t: dict) -> Optional[StructType]:
+        if t.get("schema"):
+            return StructType.fromJson(json.loads(t["schema"]))
+        return None
+
+    def _read_entry(self, t: dict) -> DataFrame:
+        schema = self._schema_of(t)
+        if t["layout"] == "bucketed":
+            paths = [
+                os.path.join(self.root, d)
+                for d in t["buckets"].values()
+            ]
+        else:
+            paths = [os.path.join(self.root, d) for d in t["dirs"]]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        if t.get("partitioned"):
+            # partition-column discovery needs inference; plain layout
+            # with partition dirs is single-generation (overwrite only)
+            frames = [self.spark.read.parquet(p) for p in paths]
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f, allowMissingColumns=True)
+            return df
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def read(self, name: str) -> Optional[DataFrame]:
-        df = self._read_raw(name)
-        if df is not None and BUCKET_COL in df.columns:
-            df = df.drop(BUCKET_COL)
-        return df
+        t = self._manifest()["tables"].get(name)
+        if t is None:
+            return None
+        return self._read_entry(t)
 
     def _bucket_expr(self, keys: Sequence[str]):
         return F.pmod(
             F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.n_buckets)
         ).cast("int")
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
 
     def overwrite(
         self,
@@ -127,31 +194,34 @@ class ParquetTableStore:
         partition_by: Sequence[str] | None = None,
         keys: Sequence[str] | None = None,
     ) -> None:
-        """Atomic full replace: write tmp dir, swap, drop old.  With
-        ``keys`` the table is written in the hash-bucketed layout so
-        later upserts can prune."""
-        final = self._path(name)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        """Atomic full replace.  With ``keys`` the table is written in
+        the hash-bucketed layout so later upserts can prune."""
         if keys:
-            df = df.withColumn(BUCKET_COL, self._bucket_expr(keys))
-            # Route each bucket to one task -> one file per bucket
-            # (bounded file counts; co-located bucket joins downstream).
-            df = df.repartition(self.n_buckets, F.col(BUCKET_COL))
-            df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+            staged = self._stage_full(name, df, list(keys))
         else:
+            gen = uuid.uuid4().hex[:8]
+            tdir = self._path(name)
+            os.makedirs(tdir, exist_ok=True)
+            tmp = tdir + ".tmp-" + gen
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(tmp)
-        self._swap_dir(tmp, final)
-
-    @staticmethod
-    def _swap_dir(src: str, dst: str) -> None:
-        old = dst + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(dst):
-            os.rename(dst, old)
-        os.rename(src, dst)
-        shutil.rmtree(old, ignore_errors=True)
+            dname = os.path.join(name, "data-" + gen)
+            os.rename(tmp, os.path.join(self.root, dname))
+            old = self._manifest()["tables"].get(name)
+            staged = StagedWrite(
+                name=name,
+                entry={
+                    "layout": "plain",
+                    "dirs": [dname],
+                    "schema": df.schema.json(),
+                    "partitioned": bool(partition_by),
+                },
+                replaced_dirs=self._live_dirs(old),
+                staged_dirs=[dname],
+            )
+        self.commit([staged])
 
     def append(
         self,
@@ -159,17 +229,112 @@ class ParquetTableStore:
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
     ) -> None:
-        if self._is_bucketed(name):
-            # root-level files next to _bucket=K dirs would break
-            # partition discovery for every later read
+        """Append a new data directory to a plain-layout table."""
+        old = self._manifest()["tables"].get(name)
+        if old and old["layout"] == "bucketed":
             raise ValueError(
                 f"table '{name}' is hash-bucketed; use upsert() "
                 "(keyed MERGE) instead of raw append"
             )
-        writer = df.write.mode("append")
+        gen = uuid.uuid4().hex[:8]
+        tdir = self._path(name)
+        os.makedirs(tdir, exist_ok=True)
+        tmp = tdir + ".tmp-" + gen
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._path(name))
+        writer.parquet(tmp)
+        dname = os.path.join(name, "data-" + gen)
+        os.rename(tmp, os.path.join(self.root, dname))
+        dirs = (old["dirs"] if old else []) + [dname]
+        self.commit([
+            StagedWrite(
+                name=name,
+                entry={
+                    "layout": "plain",
+                    "dirs": dirs,
+                    "schema": df.schema.json(),
+                    "partitioned": bool(partition_by)
+                    or bool(old and old.get("partitioned")),
+                },
+                staged_dirs=[dname],
+            )
+        ])
+
+    @staticmethod
+    def _live_dirs(t: Optional[dict]) -> List[str]:
+        if not t:
+            return []
+        if t["layout"] == "bucketed":
+            return list(t["buckets"].values())
+        return list(t["dirs"])
+
+    def _check_evolution(
+        self, old: Optional[StructType], new: StructType, name: str
+    ) -> None:
+        """Adding columns is fine (null back-fill); changing an
+        existing column's type is a loud error, never silent."""
+        if old is None:
+            return
+        old_types = {f.name: f.dataType for f in old.fields}
+        for f in new.fields:
+            if f.name in old_types and old_types[f.name] != f.dataType:
+                raise ValueError(
+                    f"schema evolution conflict on table '{name}' "
+                    f"column '{f.name}': {old_types[f.name]} -> "
+                    f"{f.dataType}"
+                )
+
+    def _adopt_buckets(
+        self, name: str, tmp: str, gen: str
+    ) -> Dict[str, str]:
+        """Move ``_bucket=K`` dirs out of a finished Spark write into
+        final (but manifest-invisible) generation dirs."""
+        tdir = self._path(name)
+        os.makedirs(tdir, exist_ok=True)
+        buckets: Dict[str, str] = {}
+        for entry in os.listdir(tmp):
+            if not entry.startswith(BUCKET_COL + "="):
+                continue
+            b = entry.split("=", 1)[1]
+            dname = os.path.join(name, f"b{b}-{gen}")
+            os.rename(
+                os.path.join(tmp, entry), os.path.join(self.root, dname)
+            )
+            buckets[b] = dname
+        shutil.rmtree(tmp, ignore_errors=True)
+        return buckets
+
+    def _stage_full(
+        self, name: str, df: DataFrame, keys: List[str],
+        shuffle: bool = True,
+    ) -> StagedWrite:
+        """Stage a complete bucketed table (bulk load / full replace /
+        layout migration)."""
+        gen = uuid.uuid4().hex[:8]
+        tmp = self._path(name) + ".tmp-" + gen
+        new = df.withColumn(BUCKET_COL, self._bucket_expr(keys))
+        if shuffle:
+            # Route each bucket to one task -> one file per bucket
+            # (bounded file counts, co-located bucket joins downstream).
+            new = new.repartition(self.n_buckets, F.col(BUCKET_COL))
+        new.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+        buckets = self._adopt_buckets(name, tmp, gen)
+        old = self._manifest()["tables"].get(name)
+        return StagedWrite(
+            name=name,
+            entry={
+                "layout": "bucketed",
+                "n_buckets": self.n_buckets,
+                "keys": keys,
+                "schema": df.schema.json(),
+                "buckets": buckets,
+            },
+            replaced_dirs=self._live_dirs(old),
+            staged_dirs=list(buckets.values()),
+            buckets_touched=self.n_buckets,
+            n_buckets=self.n_buckets,
+        )
 
     # ------------------------------------------------------------------
     # MERGE INTO emulation
@@ -187,16 +352,15 @@ class ParquetTableStore:
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *
 
-        Only the hash buckets containing new keys are read (partition
-        pruning on ``_bucket``) and re-written.  All Spark actions run
-        here; :meth:`commit` is pure directory renames.
+        Only the hash buckets containing new keys are read (path-level
+        pruning through the manifest) and given new generation dirs.
+        All Spark actions run here; :meth:`commit` is one manifest
+        write + one atomic pointer rename.
         """
-        final = self._path(name)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
         keys = list(keys)
-        new = df.withColumn(BUCKET_COL, self._bucket_expr(keys))
+        t = self._manifest()["tables"].get(name)
 
-        if not self.exists(name):
+        if t is None:
             # Bulk load: write straight from the producing stage — no
             # distribution shuffle (the table's full content through
             # the shuffle layer is pure extra I/O on the bulk path).
@@ -204,46 +368,48 @@ class ParquetTableStore:
             # the pruned-merge path below coalesces each bucket to one
             # file the first time it is touched (Iceberg parallel:
             # bulk append now, compaction rides the first MERGE).
-            new.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-            return StagedWrite(
-                name=name, tmp_root=tmp, full_table=True, final=final,
-                buckets_touched=self.n_buckets, n_buckets=self.n_buckets,
-            )
+            return self._stage_full(name, df, keys, shuffle=False)
 
-        if not self._is_bucketed(name):
-            # Legacy/unbucketed table: one-time migration via full
-            # merge into the bucketed layout.
-            existing = self.read(name)
+        if t["layout"] != "bucketed":
+            # Legacy/plain table: one-time migration via full merge
+            # into the bucketed layout.
+            existing = self._read_entry(t)
+            self._check_evolution(existing.schema, df.schema, name)
             keep = existing.join(
-                new.select(*keys).dropDuplicates(keys), keys, "left_anti"
-            ).withColumn(BUCKET_COL, self._bucket_expr(keys))
-            merged = keep.unionByName(new.select(*keep.columns))
-            merged.repartition(
-                self.n_buckets, F.col(BUCKET_COL)
-            ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
-            return StagedWrite(
-                name=name, tmp_root=tmp, full_table=True, final=final,
-                buckets_touched=self.n_buckets, n_buckets=self.n_buckets,
+                df.select(*keys).dropDuplicates(keys), keys, "left_anti"
             )
+            merged = keep.unionByName(df, allowMissingColumns=True)
+            return self._stage_full(name, merged, keys)
 
         # Pruned merge: read ONLY the buckets the new rows hash into.
-        new = new.persist()
+        old_schema = self._schema_of(t)
+        self._check_evolution(old_schema, df.schema, name)
+        gen = uuid.uuid4().hex[:8]
+        new = df.withColumn(BUCKET_COL, self._bucket_expr(keys)).persist()
         touched = sorted(
             r[0] for r in new.select(BUCKET_COL).distinct().collect()
         )
         if not touched:
             new.unpersist()
             return StagedWrite(
-                name=name, tmp_root=tmp, final=final,
-                buckets_touched=0, n_buckets=self.n_buckets,
+                name=name, entry=t, buckets_touched=0,
+                n_buckets=self.n_buckets,
             )
-        existing = self._read_raw(name).filter(
-            F.col(BUCKET_COL).isin(touched)
-        )
+        old_buckets: Dict[str, str] = dict(t["buckets"])
+        paths = [
+            os.path.join(self.root, old_buckets[str(b)])
+            for b in touched
+            if str(b) in old_buckets
+        ]
+        if paths:
+            existing = self.spark.read.schema(old_schema).parquet(*paths)
+        else:
+            existing = self.spark.createDataFrame([], old_schema)
         keep = existing.join(
             new.select(*keys).dropDuplicates(keys), keys, "left_anti"
-        )
-        merged = keep.unionByName(new.select(*keep.columns))
+        ).withColumn(BUCKET_COL, self._bucket_expr(keys))
+        merged = keep.unionByName(new, allowMissingColumns=True)
+        tmp = self._path(name) + ".tmp-" + gen
         (
             merged.repartition(
                 min(len(touched), self.n_buckets), F.col(BUCKET_COL)
@@ -253,35 +419,51 @@ class ParquetTableStore:
             .parquet(tmp)
         )
         new.unpersist()
-        swaps = []
+        written = self._adopt_buckets(name, tmp, gen)
+        buckets = dict(old_buckets)
+        replaced: List[str] = []
         for b in touched:
-            part = f"{BUCKET_COL}={b}"
-            src = os.path.join(tmp, part)
-            if not os.path.isdir(src):
-                # every key in this bucket was replaced by... cannot
-                # happen (new rows always land in their bucket), but a
-                # fully-empty merged bucket writes no dir: swap in an
-                # empty dir so stale rows don't survive.
-                os.makedirs(src, exist_ok=True)
-            swaps.append((src, os.path.join(final, part)))
+            key = str(b)
+            if key in written:
+                if key in buckets:
+                    replaced.append(buckets[key])
+                buckets[key] = written[key]
+            elif key in buckets:
+                # merged bucket came out empty (cannot normally happen
+                # — new rows always land in their bucket — but never
+                # leave stale rows live)
+                replaced.append(buckets.pop(key))
+        schema_json = merged.drop(BUCKET_COL).schema.json()
         return StagedWrite(
-            name=name, tmp_root=tmp, swaps=swaps, final=final,
-            buckets_touched=len(touched), n_buckets=self.n_buckets,
+            name=name,
+            entry={
+                "layout": "bucketed",
+                "n_buckets": self.n_buckets,
+                "keys": keys,
+                "schema": schema_json,
+                "buckets": buckets,
+            },
+            replaced_dirs=replaced,
+            staged_dirs=list(written.values()),
+            buckets_touched=len(touched),
+            n_buckets=self.n_buckets,
         )
 
     def commit(self, staged: Sequence[StagedWrite]) -> None:
-        """Make staged writes live: rename loop only, no Spark jobs.
-        Multi-table atomicity emulation — stage everything, then swap
-        everything back-to-back."""
+        """Publish staged writes: build the next manifest, write it,
+        atomically swap the CURRENT pointer — ALL tables become
+        visible in one rename (no Spark jobs, no per-table window).
+        Old generation dirs are garbage-collected only AFTER the
+        pointer swap; a GC failure leaves orphans that no reader can
+        ever discover (vacuum() reclaims them)."""
+        manifest = self._manifest()
+        replaced: List[str] = []
         for s in staged:
-            if s.full_table:
-                self._swap_dir(s.tmp_root, s.final)
-            else:
-                for src, dst in s.swaps:
-                    self._swap_dir(src, dst)
-        for s in staged:
-            if not s.full_table and os.path.isdir(s.tmp_root):
-                shutil.rmtree(s.tmp_root, ignore_errors=True)
+            manifest["tables"][s.name] = s.entry
+            replaced.extend(s.replaced_dirs)
+        self._write_manifest(manifest)
+        for d in replaced:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
 
     def upsert(
         self,
@@ -297,24 +479,69 @@ class ParquetTableStore:
         return staged
 
     def drop(self, name: str) -> None:
+        manifest = self._manifest()
+        if name in manifest["tables"]:
+            del manifest["tables"][name]
+            self._write_manifest(manifest)
         p = self._path(name)
         if os.path.exists(p):
             shutil.rmtree(p)
 
+    def vacuum(self, keep_manifests: int = 3) -> List[str]:
+        """Delete data directories not referenced by the CURRENT
+        manifest (crash leftovers / failed GC) and old manifest files.
+        Safe any time under the single-writer invariant."""
+        manifest = self._manifest()
+        live = set()
+        for t in manifest["tables"].values():
+            live.update(self._live_dirs(t))
+        removed = []
+        for tname in list(manifest["tables"]) + [
+            d for d in os.listdir(self.root)
+            if d != MANIFEST_DIR and os.path.isdir(self._path(d))
+        ]:
+            tdir = self._path(tname)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                rel = os.path.join(tname, entry)
+                full = os.path.join(tdir, entry)
+                if os.path.isdir(full) and rel not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(rel)
+        # stale .tmp-* write dirs at root level
+        for entry in os.listdir(self.root):
+            if ".tmp-" in entry:
+                shutil.rmtree(self._path(entry), ignore_errors=True)
+                removed.append(entry)
+        # prune manifest history
+        mfiles = sorted(
+            f for f in os.listdir(self._mdir()) if f.startswith("m-")
+        )
+        cur = os.path.join(self._mdir(), CURRENT)
+        current_name = ""
+        if os.path.exists(cur):
+            with open(cur) as fh:
+                current_name = fh.read().strip()
+        for f in mfiles[:-keep_manifests]:
+            if f != current_name:
+                os.unlink(os.path.join(self._mdir(), f))
+        return removed
+
     # Observability helper for tests/benchmarks: parquet files per
-    # bucket dir (shallow).
+    # bucket, resolved through the manifest.
     def bucket_files(self, name: str) -> dict:
-        p = self._path(name)
-        out = {}
-        if not os.path.isdir(p):
+        t = self._manifest()["tables"].get(name)
+        out: dict = {}
+        if not t or t["layout"] != "bucketed":
             return out
-        for entry in sorted(os.listdir(p)):
-            if entry.startswith(BUCKET_COL + "="):
-                b = int(entry.split("=", 1)[1])
-                files = [
-                    f
-                    for f in os.listdir(os.path.join(p, entry))
-                    if f.endswith(".parquet")
-                ]
-                out[b] = sorted(files)
+        for b, dname in t["buckets"].items():
+            full = os.path.join(self.root, dname)
+            files = [
+                f for f in os.listdir(full) if f.endswith(".parquet")
+            ] if os.path.isdir(full) else []
+            # generation dir name participates so an untouched bucket
+            # compares equal and a rewritten one never does
+            out[int(b)] = [os.path.join(os.path.basename(dname), f)
+                           for f in sorted(files)]
         return out

@@ -135,3 +135,136 @@ def test_rerun_same_input_is_noop_for_store_files(spark, tmp_path):
         t: store.bucket_files(t) for t in ("chunks", "nodes", "edges")
     }
     assert before == after
+
+
+def test_commit_all_or_nothing_under_crash(spark, tmp_path, monkeypatch):
+    """VERDICT r2 item 3: a crash ANYWHERE inside commit() must leave
+    either the complete old state or the complete new state across
+    ALL tables — the manifest pointer swap is the single atomicity
+    point (Iceberg snapshot semantics; kuzu.go/neo.go upsert
+    contract)."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    store.upsert(
+        "edges",
+        spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight long"),
+        ["src", "dst"],
+    )
+    store.upsert(
+        "checkpoint",
+        spark.createDataFrame([("d1", "s1")], "doc_id string, sha string"),
+        ["doc_id"],
+    )
+    s1 = store.stage_upsert(
+        "edges",
+        spark.createDataFrame([("a", "b", 2), ("x", "y", 1)],
+                              "src string, dst string, weight long"),
+        ["src", "dst"],
+    )
+    s2 = store.stage_upsert(
+        "checkpoint",
+        spark.createDataFrame([("d2", "s2")], "doc_id string, sha string"),
+        ["doc_id"],
+    )
+
+    # crash at the pointer swap — the last possible instant
+    def boom(src, dst):
+        raise OSError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(store, "_replace", boom)
+    with pytest.raises(OSError):
+        store.commit([s1, s2])
+    # reader (fresh store handle = fresh process after the crash)
+    reader = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    assert {r.weight for r in reader.read("edges").collect()} == {1}
+    assert reader.read("checkpoint").count() == 1
+
+    # recovery: redo the commit — both tables flip together
+    monkeypatch.undo()
+    store.commit([s1, s2])
+    got = {(r.src, r.dst): r.weight for r in reader.read("edges").collect()}
+    assert got == {("a", "b"): 2, ("x", "y"): 1}
+    assert reader.read("checkpoint").count() == 2
+
+
+def test_orphan_dirs_are_never_discoverable(spark, tmp_path):
+    """round-2 ADVICE item 1: stale/abandoned directories inside the
+    table path must never resurrect rows — readers resolve ONLY
+    through the manifest."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "key string, val long")
+    store.upsert("tbl", df, ["key"])
+    # plant an orphan generation dir carrying poison rows
+    poison = spark.createDataFrame([("zombie", 666)], "key string, val long")
+    poison.write.parquet(str(tmp_path / "t" / "tbl" / "b0-deadbeef"))
+    got = {r.key for r in store.read("tbl").collect()}
+    assert got == {"a", "b"}
+    removed = store.vacuum()
+    assert any("deadbeef" in d for d in removed)
+    assert {r.key for r in store.read("tbl").collect()} == {"a", "b"}
+
+
+def test_crash_mid_stage_leaves_old_state_and_vacuums(spark, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    df = spark.createDataFrame([("a", 1)], "key string, val long")
+    store.upsert("tbl", df, ["key"])
+    # stage but never commit (= crash between stage and commit)
+    store.stage_upsert(
+        "tbl",
+        spark.createDataFrame([("a", 9), ("c", 3)], "key string, val long"),
+        ["key"],
+    )
+    reader = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    assert {r.val for r in reader.read("tbl").collect()} == {1}
+    reader.vacuum()
+    assert {r.val for r in reader.read("tbl").collect()} == {1}
+
+
+def test_schema_evolution_add_column_backfills_nulls(spark, tmp_path):
+    """round-2 ADVICE item 2: upserting rows with NEW columns must
+    keep them (old rows read as null), never silently project them
+    away; a TYPE change must raise."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    store.upsert(
+        "emb",
+        spark.createDataFrame([("e1", "x")], "id string, vec string"),
+        ["id"],
+    )
+    store.upsert(
+        "emb",
+        spark.createDataFrame(
+            [("e2", "y", "A", "B")],
+            "id string, vec string, src string, dst string",
+        ),
+        ["id"],
+    )
+    rows = {r.id: (r.src, r.dst) for r in store.read("emb").collect()}
+    assert rows["e2"] == ("A", "B")
+    assert rows["e1"] == (None, None)
+
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        store.upsert(
+            "emb",
+            spark.createDataFrame([("e3", 5)], "id string, vec long"),
+            ["id"],
+        )
+
+
+def test_exists_recognizes_partitioned_plain_tables(spark, tmp_path):
+    """round-2 ADVICE item 3: overwrite(partition_by=...) tables must
+    be visible to exists()/read() so a later upsert migrates instead
+    of silently discarding rows."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    df = spark.createDataFrame(
+        [("a", "p1", 1), ("b", "p2", 2)], "key string, part string, val long"
+    )
+    store.overwrite("ptab", df, partition_by=["part"])
+    assert store.exists("ptab")
+    assert store.read("ptab").count() == 2
+    store.upsert(
+        "ptab",
+        spark.createDataFrame([("c", "p1", 3)],
+                              "key string, part string, val long"),
+        ["key"],
+    )
+    got = {r.key: r.val for r in store.read("ptab").collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
