@@ -114,3 +114,55 @@ def test_prebucketed_ann_scan_prunes_to_query_bucket(spark, tmp_path):
     assert [tuple(r) for r in got.select("id", "score").collect()] == [
         tuple(r) for r in onfly.collect()
     ]
+
+
+def test_knn_join_bucketed_exact_with_exhaustive_probes(spark, emb):
+    """VERDICT r2 item 2: the bucketed kNN equi-join with exhaustive
+    probing must reproduce the crossJoin path exactly — and its plan
+    must contain NO cartesian/crossJoin node."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = similarity.knn_join(queries, emb, 3).collect()
+    bucketed = similarity.knn_join_bucketed(
+        queries, emb, 3, n_planes=4, probe_hamming=None, dim=16
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = bucketed.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+
+
+def test_knn_join_bucketed_probe1_recall(spark, emb):
+    """probe_hamming=1 (the scale configuration: n_planes+1 buckets
+    per query) must keep high top-k recall on the clustered fixture
+    and always find the self-neighbor."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_join(queries, emb, 3).collect()
+    }
+    approx_rows = similarity.knn_join_bucketed(
+        queries, emb, 3, n_planes=4, probe_hamming=1, dim=16
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid, neigh in by_q.items():
+        assert qid in neigh  # self always survives (same bucket)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, (recall, exact - approx)
+
+
+def test_knn_join_bucketed_uses_precomputed_buckets(spark, emb, tmp_path):
+    """Against the pre-bucketed table the corpus-side bucket comes
+    from the partition column — no per-row hyperplane recompute."""
+    path = str(tmp_path / "pre")
+    similarity.write_bucketed_embeddings(path, emb, dim=16, n_planes=4)
+    pre = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = similarity.knn_join_bucketed(
+        queries, pre, 3, n_planes=4, probe_hamming=None, dim=16
+    ).collect()
+    exact = similarity.knn_join(queries, emb, 3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
