@@ -9,8 +9,13 @@ byte-level BPE encoder/decoder that loads any standard
 ``.tiktoken``-format vocabulary (``base64(token_bytes) <rank>`` per
 line — the public o200k_base / cl100k_base files) at runtime.  With
 the real file present (``KGFORGE_BPE_PATH``), :mod:`kgforge.tokenizer`
-routes through this engine and token counts/boundaries match tiktoken
-exactly; without it, the deterministic regex tokenizer stands in
+routes through this engine.  The merge loop is rank-exact, but the
+stdlib-re pre-tokenizer below is an APPROXIMATION of the upstream
+o200k split (no ``\\p{L}``/``\\p{N}`` classes, no case-insensitive
+contractions), so counts/boundaries match tiktoken on ASCII and most
+scripts and can diverge on non-ASCII letters/digits and uppercase
+contractions (``'S``).  Without a vocab file, the deterministic regex
+tokenizer stands in
 (same lossless-slice contract, different boundaries — the divergence
 is documented there).
 

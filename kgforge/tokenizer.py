@@ -60,7 +60,10 @@ def encode(text: str) -> List:
 
     With a real BPE vocabulary configured (``KGFORGE_BPE_PATH``
     pointing at a public ``.tiktoken`` file — see :mod:`kgforge.bpe`)
-    tokens are tiktoken-exact integer ids; otherwise they are the
+    tokens are integer ids from the rank-exact merge loop (boundaries
+    match tiktoken on ASCII and most scripts; the stdlib pre-tokenizer
+    diverges on non-ASCII letter/digit classes and uppercase
+    contractions — see kgforge/bpe.py); otherwise they are the
     regex stand-in's token strings.  Both satisfy the contract the
     chunkers rely on: ``decode(encode(t)) == t`` and slice-decode
     reproduces the corresponding substring (BPE mode shares tiktoken's
