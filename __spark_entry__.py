@@ -351,6 +351,35 @@ def q_kg_chunks_go(spark, sf_dir):
     return chunks.select("chunk_id", "doc_id", "order_index", "content")
 
 
+def q_kg_chunks_semantic(spark, sf_dir):
+    """C3: the semantic chunker (deterministic paragraph
+    span-proposer, handler/semantic.go:63-214) over a synthesized
+    3-paragraph corpus, run through the REAL fused chunk+extract UDF
+    dispatch (extraction.py) — VERDICT r2 item 6.  Spans are a pure
+    function of content, so the whole chunking is SQL-expressible."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    content = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("Overview of document "), did, F.lit(".")),
+        F.concat(F.lit("Body digest "), F.md5(txt),
+                 F.lit(" covers the corpus.")),
+        F.concat(F.lit("Length note: "), F.length(txt).cast("string"),
+                 F.lit(" characters.")),
+    )
+    repos = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(did, F.lit(".txt")).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.lit("semantic").alias("lang"),
+        content.alias("content"),
+    )
+    cfg = PipelineConfig()
+    chunks, _rejects, _ents, _rels = extract_mentions(repos, cfg)
+    return chunks.select("chunk_id", "doc_id", "order_index", "content")
+
+
 def q_kg_summary(spark, sf_dir):
     """E7: token-gated description summarization (insert.go:692-723)
     fired inside an oracle-checked query.  Each entity mention carries
@@ -518,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "kg_chunks_go": q_kg_chunks_go,
+        "kg_chunks_semantic": q_kg_chunks_semantic,
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,
         "kg_local_entities": q_kg_local_entities,

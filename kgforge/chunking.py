@@ -108,6 +108,10 @@ def make_chunker_udf(
                     chunks = chunk_go(text)
                 elif lg in ("markdown", "md"):
                     chunks = chunk_markdown(text)
+                elif lg == "semantic":
+                    from kgforge.semantic import chunk_semantic
+
+                    chunks = chunk_semantic(text, max_tokens=max_tokens)
                 else:
                     chunks = chunk_default(text, max_tokens, overlap_tokens)
                 results.append(

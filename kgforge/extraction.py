@@ -282,6 +282,14 @@ def make_chunk_extract_udf(
                         chunks = chunk_go(text)
                     elif lg in ("markdown", "md"):
                         chunks = chunk_markdown(text)
+                    elif lg == "semantic":
+                        # C3 (handler/semantic.go:63-214) with the
+                        # deterministic paragraph span-proposer
+                        from kgforge.semantic import chunk_semantic
+
+                        chunks = chunk_semantic(
+                            text, max_tokens=max_tokens
+                        )
                     else:
                         chunks = chunk_default(
                             text, max_tokens, overlap_tokens

@@ -336,6 +336,33 @@ SELECT doc_id || '-chunk-2', doc_id, CAST(2 AS INTEGER),
 FROM g
 """
 
+    # C3 semantic-chunker parity over the synthesized paragraph corpus
+    # (__spark_entry__.q_kg_chunks_semantic): the deterministic
+    # paragraph proposer spans each blank-line paragraph, every span is
+    # far under max_tokens, so chunks == the three stripped paragraphs
+    # in order (semantic.go:63-214 validated-span path, no C1 rechunk).
+    q["kg_chunks_semantic"] = """
+WITH s AS (
+  SELECT source || ':' || CAST(doc_id AS VARCHAR) || '.txt@HEAD' AS doc_id,
+         CAST(doc_id AS VARCHAR) AS id,
+         md5(coalesce(text, '')) AS m,
+         length(coalesce(text, '')) AS n
+  FROM documents
+)
+SELECT doc_id || '-chunk-0' AS chunk_id, doc_id,
+       CAST(0 AS INTEGER) AS order_index,
+       'Overview of document ' || id || '.' AS content
+FROM s
+UNION ALL
+SELECT doc_id || '-chunk-1', doc_id, CAST(1 AS INTEGER),
+       'Body digest ' || m || ' covers the corpus.'
+FROM s
+UNION ALL
+SELECT doc_id || '-chunk-2', doc_id, CAST(2 AS INTEGER),
+       'Length note: ' || CAST(n AS VARCHAR) || ' characters.'
+FROM s
+"""
+
     # E7 summary parity: descriptions are pure lowercase-word strings,
     # so the vendored tokenizer counts are exactly word counts and each
     # '<SEP>' join contributes 3 tokens ('<', 'SEP', '>').  Gate fires
