@@ -249,10 +249,37 @@ def _empty_contexts(nodes, edges, chunks):
 # ---------------------------------------------------------------------------
 
 
+_GO_ESCAPES = {
+    "\\": "\\\\", '"': '\\"', "\n": "\\n", "\t": "\\t", "\r": "\\r",
+    "\a": "\\a", "\b": "\\b", "\f": "\\f", "\v": "\\v",
+}
+
+
 def _q(value) -> str:
-    """Go %q quoting (approximation: double-quote with escaping)."""
+    """Go ``%q`` quoting (strconv.Quote semantics): named escapes for
+    control shorthands, ``\\xNN``/``\\uNNNN``/``\\UNNNNNNNN`` for
+    other non-printables, printable unicode (accents, emoji) kept
+    literal.  Python's ``str.isprintable`` stands in for Go's
+    ``unicode.IsPrint`` — they agree on all of Latin-1 and the
+    common planes (both exclude Cc/Cf)."""
     s = str(value)
-    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    out = ['"']
+    for ch in s:
+        esc = _GO_ESCAPES.get(ch)
+        if esc is not None:
+            out.append(esc)
+        elif ch.isprintable():
+            out.append(ch)
+        else:
+            cp = ord(ch)
+            if cp < 0x80:
+                out.append(f"\\x{cp:02x}")
+            elif cp < 0x10000:
+                out.append(f"\\u{cp:04x}")
+            else:
+                out.append(f"\\U{cp:08x}")
+    out.append('"')
+    return "".join(out)
 
 
 def _combine(headers: List[str], ctx1: List[tuple], ctx2: List[tuple]) -> str:

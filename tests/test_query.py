@@ -203,3 +203,74 @@ def test_global_context_pipe_in_entity_name(spark):
     r = rels.collect()
     assert len(r) == 1 and (r[0].source, r[0].target) == ("A|B", "C")
     assert {x.name for x in ents.collect()} == {"A|B", "C"}
+
+
+def test_render_query_result_byte_exact_golden(spark):
+    """Q11/Q12 byte-level parity fixture (VERDICT r2 item 8),
+    mirroring query_test.go:310-451 ('Result with sorting by reference
+    count') plus %q edge cases: embedded quotes, newline, tab,
+    printable unicode kept literal, control byte hex-escaped
+    (query.go:563-592 combineContexts + the three String() renderers:
+    weight FormatFloat('f',2), row ids %q-quoted, later/local context
+    wins, ref_count descending)."""
+    from kgforge.query import render_query_result
+
+    ent_schema = (
+        "name string, type string, description string, "
+        "ref_count int, created_at string"
+    )
+    rel_schema = (
+        "source string, target string, keywords string, "
+        "description string, weight double, ref_count int, "
+        "created_at string"
+    )
+    src_schema = "content string, source_id string, ref_count int"
+    result = {
+        "global_entities": spark.createDataFrame(
+            [("GlobalEntityLow", "PERSON", 'Low "ref" count\nentity',
+              1, "2023-01-01 00:00:00 +0000 UTC")], ent_schema),
+        "local_entities": spark.createDataFrame(
+            [("LocalEntityHigh", "ORGANIZATION",
+              "High réf \U0001f680 entity\x01",
+              5, "2023-01-02 00:00:00 +0000 UTC")], ent_schema),
+        "global_relationships": spark.createDataFrame(
+            [("SourceLow", "TargetLow", "low_ref",
+              "Low ref count relationship", 0.5, 2,
+              "2023-01-03 00:00:00 +0000 UTC")], rel_schema),
+        "local_relationships": spark.createDataFrame(
+            [("SourceHigh", "TargetHigh", "high_ref",
+              "High ref count relationship", 0.8, 7,
+              "2023-01-04 00:00:00 +0000 UTC")], rel_schema),
+        "global_sources": spark.createDataFrame(
+            [("Low ref\tsource", "src-l", 3)], src_schema),
+        "local_sources": spark.createDataFrame(
+            [("High ref source", "src-h", 10)], src_schema),
+    }
+    got = render_query_result(result)
+    expected = (
+        "\n-----Entities-----\n```csv\n"
+        "id,name,type,description,ref_count,created_at\n"
+        '"0","LocalEntityHigh","ORGANIZATION",'
+        '"High réf \U0001f680 entity\\x01","5",'
+        '"2023-01-02 00:00:00 +0000 UTC"\n'
+        '"1","GlobalEntityLow","PERSON",'
+        '"Low \\"ref\\" count\\nentity","1",'
+        '"2023-01-01 00:00:00 +0000 UTC"\n'
+        "\n```\n"
+        "-----Relationships-----\n```csv\n"
+        "id,source,target,keywords,description,weight,ref_count,"
+        "created_at\n"
+        '"0","SourceHigh","TargetHigh","high_ref",'
+        '"High ref count relationship","0.80","7",'
+        '"2023-01-04 00:00:00 +0000 UTC"\n'
+        '"1","SourceLow","TargetLow","low_ref",'
+        '"Low ref count relationship","0.50","2",'
+        '"2023-01-03 00:00:00 +0000 UTC"\n'
+        "\n```\n"
+        "-----Sources-----\n```csv\n"
+        "id,content,ref_count\n"
+        '"0","High ref source","src-h","10"\n'
+        '"1","Low ref\\tsource","src-l","3"\n'
+        "\n```"
+    )
+    assert got == expected

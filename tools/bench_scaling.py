@@ -20,6 +20,7 @@ import json, os, sys, tempfile, time
 sys.path.insert(0, os.getcwd())
 cpus = sys.argv[1]
 n_files = int(sys.argv[2])
+mode = sys.argv[3] if len(sys.argv) > 3 else "full"
 
 # "<N>x<C>" selects local-cluster[N, C, mem] — N separate executor
 # JVMs with C cores each: the honest sandbox analog of an N-executor
@@ -79,6 +80,38 @@ corpus = synthesize_corpus(spark, n_files=n_files,
 corpus = corpus.persist()
 n = corpus.count()  # materialize input OUTSIDE the timed section
 
+
+def compute_job(repos, tag):
+    # The PARALLEL FRACTION of the pipeline: fused chunk+extract UDF,
+    # JSON parse, mention explode, canonicalize, two-shuffle merge —
+    # forced with aggregate-only actions.  No table writes: isolates
+    # the engine's compute/shuffle scaling from the single shared
+    # virtio disk (round-2 probes: raw CPU scales 0.98, shared-disk
+    # writes 0.20 — a real N->4N cluster multiplies per-executor
+    # disks, this box cannot).
+    from kgforge.pipeline import (PipelineConfig, extract_exploded,
+                                  parse_extraction, mentions_of,
+                                  build_graph)
+    cfg = PipelineConfig()
+    exploded, rejects = extract_exploded(repos, cfg)
+    extracted = parse_extraction(exploded).persist()
+    ents, rels = mentions_of(extracted, cfg)
+    nodes, edges = build_graph(ents, rels, config=cfg)
+    n_chunks = extracted.count()
+    nstat = nodes.select(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("entity_id"), F.lit(1000003))).alias("h"),
+    ).collect()[0]
+    estat = edges.select(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1000003))).alias("h"),
+        F.sum("weight").alias("w"),
+    ).collect()[0]
+    nrej = rejects.count()
+    extracted.unpersist()
+    return {"n_chunks": n_chunks, "n_nodes": nstat.n,
+            "n_edges": estat.n, "n_rejects": nrej}
+
 # Warm-up: run the identical job on a ~4% partition-preserving
 # sample (fresh store) so the timed run measures steady-state
 # throughput — python worker fork+import, JVM JIT and codegen
@@ -87,25 +120,33 @@ n = corpus.count()  # materialize input OUTSIDE the timed section
 # single worker only.)
 from pyspark.sql import functions as F
 warm = corpus.filter(F.pmod(F.xxhash64("path"), F.lit(25)) == 0)
-warm_store = ParquetTableStore(spark, tempfile.mkdtemp(prefix="warm-"))
-run_insert(spark, warm, warm_store, PipelineConfig())
+if mode == "compute":
+    compute_job(warm, "warm")
+else:
+    warm_store = ParquetTableStore(spark, tempfile.mkdtemp(prefix="warm-"))
+    run_insert(spark, warm, warm_store, PipelineConfig())
 spark.catalog.clearCache()
 corpus = corpus.persist(); corpus.count()
 
-store = ParquetTableStore(spark, tempfile.mkdtemp(prefix="scaling-"))
 t0 = time.perf_counter()
-m = run_insert(spark, corpus, store, PipelineConfig())
-elapsed = time.perf_counter() - t0
-assert m["docs_processed"] == n, m
-print(json.dumps({"cpus": cpus, "n_files": n,
+if mode == "compute":
+    m = compute_job(corpus, "timed")
+    elapsed = time.perf_counter() - t0
+    assert m["n_chunks"] >= n, m
+else:
+    store = ParquetTableStore(spark, tempfile.mkdtemp(prefix="scaling-"))
+    m = run_insert(spark, corpus, store, PipelineConfig())
+    elapsed = time.perf_counter() - t0
+    assert m["docs_processed"] == n, m
+print(json.dumps({"cpus": cpus, "n_files": n, "mode": mode,
                   "elapsed_sec": round(elapsed, 2),
                   "files_per_sec": round(n / elapsed, 2)}))
 """
 
 
-def run_one(cpus, n_files: int) -> dict:
+def run_one(cpus, n_files: int, mode: str = "full") -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_files)],
+        [sys.executable, "-c", WORKER, str(cpus), str(n_files), mode],
         capture_output=True, text=True, check=True,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -130,13 +171,14 @@ def main() -> None:
 
     n_small = sys.argv[3] if len(sys.argv) > 3 else 4
     n_big = sys.argv[4] if len(sys.argv) > 4 else 16
+    mode = sys.argv[5] if len(sys.argv) > 5 else "full"
     factor = cores(n_big) / cores(n_small)
     results = {n_small: [], n_big: []}
     for _ in range(repeats):
         for cpus in (n_small, n_big):
-            r = run_one(cpus, n_files)
+            r = run_one(cpus, n_files, mode)
             results[cpus].append(r)
-            print(r)
+            print(r, flush=True)
     def mean(xs):
         return sum(xs) / len(xs)
 
@@ -150,6 +192,7 @@ def main() -> None:
     eff = (mean_b / mean_s) / factor
     summary = {
         "n_files": n_files,
+        "mode": mode,
         f"throughput_local{n_small}_files_per_sec": round(mean_s, 2),
         f"throughput_local{n_big}_files_per_sec": round(mean_b, 2),
         f"best_local{n_small}": best_s,
@@ -162,8 +205,9 @@ def main() -> None:
     print(json.dumps(summary))
     with open("BENCH.md", "a") as f:
         f.write(
-            f"\n## Scaling run (n_files={n_files}, steady-state: "
-            f"identical warm-up run precedes the timed run)\n\n"
+            f"\n## Scaling run (n_files={n_files}, mode={mode}, "
+            f"steady-state: identical warm-up run precedes the timed "
+            f"run)\n\n"
             f"| cores | elapsed (s) | files/sec |\n|---|---|---|\n"
         )
         for cpus in (n_small, n_big):
