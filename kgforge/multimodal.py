@@ -3,12 +3,12 @@
 Treats image/audio/video as opaque ``binary`` columns
 (ASSETS_SCHEMA) with decode / feature-extract / resize / frame-sample
 as ``mapInPandas`` stages.  The Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signatures — is real and tested;
-the actual codec work is STUBBED (this container ships no
-image/audio libraries): ``decode_stub`` raises NotImplementedError
-unless ``fake=True``, in which case it derives deterministic fake
-metadata/features from the payload bytes so pipelines are testable
-end-to-end.
+partitioning, Arrow batch shape, UDF signatures — is real and tested.
+Codecs: PNG (IHDR parse, CRC-verified) and WAV (stdlib ``wave``) are
+REAL stdlib decoders behind ``fake=False``; video remains an honest
+NotImplementedError stub (no ffmpeg-class library ships here).
+``fake=True`` derives deterministic md5 metadata/features from the
+payload bytes so pipelines stay oracle-checkable end-to-end.
 
 Scale notes: payloads never pass through Python row-at-a-time — each
 mapInPandas batch moves one Arrow record batch; feature outputs are
@@ -60,23 +60,85 @@ def _fake_decode(asset_id: str, kind: str, payload: bytes):
     return width, height, n_frames, [float(x) for x in feats]
 
 
+def _byte_histogram(payload: bytes):
+    """Real (if simple) content feature: L1-normalized 16-bin byte
+    histogram — deterministic, fixed-width, computed from the actual
+    payload so downstream similarity joins operate on real signal."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+    return [float(x) for x in hist / hist.sum()]
+
+
+def decode_png(payload: bytes):
+    """Real PNG header decode, stdlib only: validate the 8-byte
+    signature, require IHDR as the first chunk (per the PNG spec),
+    verify its CRC, and read width/height."""
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 33:
+        raise ValueError("not a PNG: truncated")
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    (length,) = struct.unpack(">I", payload[8:12])
+    if payload[12:16] != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    body = payload[16:16 + 13]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF != crc:
+        raise ValueError("not a PNG: IHDR CRC mismatch")
+    width, height = struct.unpack(">II", body[:8])
+    return int(width), int(height), 1, _byte_histogram(payload)
+
+
+def decode_wav(payload: bytes):
+    """Real WAV decode via the stdlib ``wave`` module: channel count
+    (-> width), bits per sample (-> height), frame count."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload or b"")) as wf:
+        return (
+            int(wf.getnchannels()),
+            int(wf.getsampwidth() * 8),
+            int(wf.getnframes()),
+            _byte_histogram(payload),
+        )
+
+
+def _real_decode(asset_id: str, kind: str, payload: bytes):
+    """Dispatch to the stdlib codecs.  Video stays an HONEST stub —
+    no container/codec library ships in this environment."""
+    if kind == "image":
+        return decode_png(payload)
+    if kind == "audio":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        f"no codec for kind={kind!r} in this environment "
+        "(video decode requires ffmpeg-class libraries)"
+    )
+
+
 def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas decode stage: (asset_id, kind, payload, ...) ->
-    DECODED_SCHEMA.  Real implementation would dispatch to
-    PIL/soundfile/ffmpeg per `kind`; see _fake_decode for the stub."""
+    DECODED_SCHEMA.
+
+    ``fake=True`` (the oracle-checkable default) derives deterministic
+    md5 metadata/features; ``fake=False`` runs the REAL stdlib codecs:
+    PNG IHDR (signature + CRC-verified width/height) for images, the
+    ``wave`` module for audio — video remains an honest
+    NotImplementedError stub."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _fake_decode if fake else _real_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real codecs unavailable in this environment; "
-                    "run with fake=True or plug a decoder here"
-                )
             rows = []
             for asset_id, kind, payload in zip(
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
-                w, h, nf, feats = _fake_decode(asset_id, kind, payload)
+                w, h, nf, feats = decoder(asset_id, kind, payload)
                 rows.append((asset_id, kind, w, h, nf, feats))
             yield pd.DataFrame(
                 rows,

@@ -34,8 +34,13 @@ def test_decode_stub_deterministic(spark, assets):
     assert out1["a2"].n_frames >= 1
 
 
-def test_decode_real_path_raises(spark, assets):
-    with pytest.raises(Exception, match="NotImplementedError|real codecs"):
+def test_decode_real_path_rejects_non_media_payloads(spark, assets):
+    """fake=False now runs REAL stdlib codecs — text payloads
+    masquerading as image/audio fail loudly (bad PNG signature / not
+    a RIFF), never silently decode."""
+    with pytest.raises(
+        Exception, match="not a PNG|file does not start with RIFF|Error"
+    ):
         decode_assets(assets, fake=False).collect()
 
 
@@ -120,3 +125,83 @@ def test_streaming_stateful_exact_dedup(spark, tmp_path):
     assert {r.path for r in rows} == {"a1.txt", "b1.txt", "c1.txt"}
     shas = [r.content_sha for r in rows]
     assert len(shas) == len(set(shas)) == 3
+
+
+def _tiny_png(width, height):
+    """Hand-built minimal-but-valid PNG: signature + CRC-correct IHDR
+    + IDAT + IEND (stdlib only)."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = zlib.compress(b"".join(b"\x00" + b"\x7f" * width
+                                 for _ in range(height)))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+
+
+def _tiny_wav(n_channels, n_frames, framerate=8000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(b"\x01\x02" * n_channels * n_frames)
+    return buf.getvalue()
+
+
+def test_real_png_wav_decode_through_mapinpandas(spark):
+    """VERDICT r2 item 9: real stdlib codecs (PNG IHDR, wave) behind
+    the SAME mapInPandas stage; stub scope shrinks to video."""
+    from kgforge.multimodal import decode_assets
+
+    assets = spark.createDataFrame(
+        [
+            ("img1", "image", bytearray(_tiny_png(5, 3))),
+            ("img2", "image", bytearray(_tiny_png(320, 200))),
+            ("aud1", "audio", bytearray(_tiny_wav(2, 100))),
+        ],
+        "asset_id string, kind string, payload binary",
+    )
+    got = {r.asset_id: r for r in decode_assets(assets, fake=False).collect()}
+    assert (got["img1"].width, got["img1"].height,
+            got["img1"].n_frames) == (5, 3, 1)
+    assert (got["img2"].width, got["img2"].height) == (320, 200)
+    assert (got["aud1"].width, got["aud1"].height,
+            got["aud1"].n_frames) == (2, 16, 100)
+    for r in got.values():  # real byte-histogram features, normalized
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-6
+
+
+def test_real_decode_rejects_corrupt_and_video(spark):
+    import pytest as _pytest
+
+    from kgforge.multimodal import decode_assets, decode_png
+
+    with _pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"JFIF" + b"\x00" * 40)
+    # CRC flip detected
+    png = bytearray(_tiny_png(4, 4))
+    png[20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC|IHDR"):
+        decode_png(bytes(png))
+    # video is an honest stub: surfaces as a task failure
+    assets = spark.createDataFrame(
+        [("v1", "video", bytearray(b"\x00\x01"))],
+        "asset_id string, kind string, payload binary",
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        decode_assets(assets, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
