@@ -267,7 +267,7 @@ def q_embedding_near_dup(spark, sf_dir):
     cosine verify >= 0.4 — never an all-pairs join."""
     from kgforge.similarity import embedding_near_dup
 
-    return embedding_near_dup(_emb(spark, sf_dir), 0.4, 4)
+    return embedding_near_dup(_emb(spark, sf_dir), 0.4, 4, dim=64)
 
 
 def q_multimodal_decode(spark, sf_dir):

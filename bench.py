@@ -75,7 +75,10 @@ def main() -> None:
     # then the steady-state run — a long-lived ingest cluster operates
     # in the second regime, so files_per_sec reports that one; the
     # cold number stays visible as kg_pipeline_cold.
-    run_pipeline_once("kg_pipeline_cold")
+    # SPARK_GRAFT_SKIP_COLD=1 reproduces the round-1 ordering (no cold
+    # leg) for like-for-like variance comparisons.
+    if not os.environ.get("SPARK_GRAFT_SKIP_COLD"):
+        run_pipeline_once("kg_pipeline_cold")
     run_pipeline_once("kg_pipeline")
 
     bench_queries = [
@@ -99,6 +102,7 @@ def main() -> None:
         "multimodal_feature_topk",
         "ngram_jaccard",
         "kg_chunks_go",
+        "kg_chunks_semantic",
         "kg_summary",
         "unembedded_chunks",
         "kg_local_entities",

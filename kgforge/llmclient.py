@@ -116,6 +116,98 @@ class OpenAICompatClient:
             raise ChatError(f"malformed response from {url}") from e
 
 
+class AnthropicClient:
+    """``ChatFn``-shaped client for the Anthropic Messages API
+    (llm/anthropic.go:1-142): POST ``{base}/messages`` with
+    ``x-api-key`` + ``anthropic-version`` headers, per-message content
+    blocks ``[{type: "text", text: ...}]``, required ``max_tokens``;
+    the reply text is ``content[0].text``."""
+
+    ANTHROPIC_VERSION = "2023-06-01"
+
+    def __init__(self, config: Optional[ChatConfig] = None):
+        cfg = config or ChatConfig(
+            base_url="https://api.anthropic.com/v1",
+            model="claude-3-5-haiku-latest",
+        )
+        self.config = cfg
+
+    def __call__(self, histories: List[str]) -> str:
+        cfg = self.config
+        msgs = [
+            {
+                "role": "user" if i % 2 == 0 else "assistant",
+                "content": [{"type": "text", "text": text}],
+            }
+            for i, text in enumerate(histories)
+        ]
+        body: dict = {
+            "model": cfg.model,
+            "messages": msgs,
+            "max_tokens": cfg.max_tokens or 1024,
+        }
+        if cfg.system_prompt:
+            body["system"] = cfg.system_prompt
+        if cfg.temperature is not None:
+            body["temperature"] = cfg.temperature
+        url = cfg.base_url.rstrip("/") + "/messages"
+        headers = {
+            "Content-Type": "application/json",
+            "x-api-key": cfg.api_key,
+            "anthropic-version": self.ANTHROPIC_VERSION,
+        }
+        headers.update(cfg.extra_headers)
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode("utf-8"), headers=headers,
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(
+                req, timeout=cfg.timeout_seconds
+            ) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            detail = ""
+            try:
+                detail = e.read().decode("utf-8", "replace")[:500]
+            except Exception:  # noqa: BLE001
+                pass
+            raise ChatError(f"HTTP {e.code} from {url}: {detail}") from e
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            raise ChatError(f"transport error to {url}: {e}") from e
+        try:
+            content = payload["content"]
+            if not content:
+                raise ChatError(f"empty response content from {url}")
+            return content[0]["text"]
+        except (KeyError, IndexError, TypeError) as e:
+            raise ChatError(f"malformed response from {url}") from e
+
+
+def openrouter_client(
+    api_key: str = "",
+    model: str = "openai/gpt-4o-mini",
+    referer: str = "",
+    title: str = "",
+) -> OpenAICompatClient:
+    """OpenRouter variant (llm/openrouter.go:1-165): the OpenAI
+    /chat/completions shape at openrouter.ai with the attribution
+    headers OpenRouter documents (HTTP-Referer / X-Title)."""
+    extra = {}
+    if referer:
+        extra["HTTP-Referer"] = referer
+    if title:
+        extra["X-Title"] = title
+    return OpenAICompatClient(
+        ChatConfig(
+            base_url="https://openrouter.ai/api/v1",
+            api_key=api_key or os.environ.get("OPENROUTER_API_KEY", ""),
+            model=model,
+            extra_headers=extra,
+        )
+    )
+
+
 def register_llm_extractor(
     name: str = "llm",
     config: Optional[ChatConfig] = None,

@@ -342,3 +342,120 @@ def test_http_llm_client_retries_then_succeeds():
         assert state["requests"] >= 3  # 1 failed + extract + glean
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Provider client variants (VERDICT r2 missing #4): Anthropic Messages
+# shape + OpenRouter headers, against local fake servers.
+# ---------------------------------------------------------------------------
+
+
+def _start_fake_anthropic_server():
+    import http.server
+    import json as _json
+    import threading
+
+    state = {"requests": []}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            state["requests"].append(
+                {"path": self.path,
+                 "x-api-key": self.headers.get("x-api-key"),
+                 "anthropic-version": self.headers.get(
+                     "anthropic-version"),
+                 "body": body}
+            )
+            resp = _json.dumps(
+                {"role": "assistant",
+                 "content": [{"type": "text",
+                              "text": "claude says hi"}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1], state
+
+
+def test_anthropic_client_messages_shape():
+    """llm/anthropic.go:1-142 contract: /messages path, x-api-key +
+    anthropic-version headers, content-block messages, required
+    max_tokens, reply = content[0].text."""
+    from kgforge.llmclient import AnthropicClient, ChatConfig
+
+    srv, port, state = _start_fake_anthropic_server()
+    try:
+        client = AnthropicClient(ChatConfig(
+            base_url=f"http://127.0.0.1:{port}/v1",
+            api_key="sk-test", model="claude-x", max_tokens=77,
+        ))
+        out = client(["hello", "earlier reply", "again"])
+        assert out == "claude says hi"
+        req = state["requests"][0]
+        assert req["path"] == "/v1/messages"
+        assert req["x-api-key"] == "sk-test"
+        assert req["anthropic-version"] == "2023-06-01"
+        assert req["body"]["max_tokens"] == 77
+        msgs = req["body"]["messages"]
+        assert [m["role"] for m in msgs] == ["user", "assistant", "user"]
+        assert msgs[0]["content"] == [{"type": "text", "text": "hello"}]
+    finally:
+        srv.shutdown()
+
+
+def test_openrouter_client_attribution_headers():
+    """llm/openrouter.go:145-153: OpenAI-compatible body plus
+    HTTP-Referer / X-Title headers."""
+    import http.server
+    import json as _json
+    import threading
+
+    from kgforge.llmclient import openrouter_client
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            seen["path"] = self.path
+            seen["referer"] = self.headers.get("HTTP-Referer")
+            seen["title"] = self.headers.get("X-Title")
+            seen["auth"] = self.headers.get("Authorization")
+            _ = self.rfile.read(int(self.headers["Content-Length"]))
+            resp = _json.dumps(
+                {"choices": [{"message": {"role": "assistant",
+                                          "content": "routed"}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = openrouter_client(
+            api_key="or-key", referer="https://example.org/app",
+            title="kgforge",
+        )
+        client.config.base_url = f"http://127.0.0.1:{srv.server_address[1]}/api/v1"
+        assert client(["ping"]) == "routed"
+        assert seen["path"] == "/api/v1/chat/completions"
+        assert seen["referer"] == "https://example.org/app"
+        assert seen["title"] == "kgforge"
+        assert seen["auth"] == "Bearer or-key"
+    finally:
+        srv.shutdown()
