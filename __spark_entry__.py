@@ -298,6 +298,36 @@ def q_vector_lsh_topk(spark, sf_dir):
     return out
 
 
+def q_vector_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic seeded codebook (the embeddings of
+    vec_id 0..7 — at scale a k-means-trained broadcast codebook),
+    table materialized partitioned by cell, probe set = the query's 2
+    nearest cells as a partition IN-filter.  The second ANN family
+    next to the LSH-bucket path; assignment/probing use the same
+    rounded-cosine total order as the oracle SQL."""
+    import tempfile
+
+    from kgforge.similarity import (
+        assert_cell_pruned,
+        ivf_probe_cells,
+        ivf_topk,
+        write_ivf_embeddings,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select(
+        "embedding"
+    ).collect()
+    centroids = [list(r[0]) for r in cent]
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    path = tempfile.mkdtemp(prefix="kgforge-ivf-") + "/embeddings"
+    write_ivf_embeddings(path, emb, centroids)
+    pre = spark.read.parquet(path)
+    out = ivf_topk(pre, qv, centroids, 10, nprobe=2)
+    assert_cell_pruned(out)
+    return out
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
     cosine verify >= 0.4 — never an all-pairs join."""
@@ -584,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "knn_join": q_knn_join,
         "vector_lsh_topk": q_vector_lsh_topk,
+        "vector_ivf_topk": q_vector_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,

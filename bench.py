@@ -97,6 +97,7 @@ def main() -> None:
         "embedding_topk",
         "knn_join",
         "vector_lsh_topk",
+        "vector_ivf_topk",
         "embedding_near_dup",
         "multimodal_decode",
         "multimodal_feature_topk",

@@ -729,6 +729,45 @@ WHERE round(CAST(list_cosine_similarity(a.embedding, c.embedding)
             AS DOUBLE), 4) >= 0.4
 """
 
+    # IVF ANN parity (__spark_entry__.q_vector_ivf_topk): the seeded
+    # codebook is the embeddings of vec_id 0..7; cell assignment =
+    # nearest centroid by cosine rounded to 4 decimals, ties -> lowest
+    # centroid index (the identical total order ivf_cell_col /
+    # ivf_probe_cells use); probes = the query's 2 nearest cells.
+    q["vector_ivf_topk"] = """
+WITH cent AS (
+  SELECT vec_id AS ci, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT ci FROM (
+            SELECT ci,
+                   round(CAST(list_cosine_similarity(e.embedding, cv)
+                         AS DOUBLE), 4) AS s
+            FROM cent ORDER BY s DESC, ci ASC LIMIT 1
+         )) AS cell
+  FROM embeddings e
+),
+probes AS (
+  SELECT ci FROM (
+    SELECT ci,
+           round(CAST(list_cosine_similarity((SELECT v FROM qv), cv)
+                 AS DOUBLE), 4) AS s
+    FROM cent ORDER BY s DESC, ci ASC LIMIT 2
+  )
+),
+cand AS (
+  SELECT vec_id, embedding FROM assign
+  WHERE cell IN (SELECT ci FROM probes)
+)
+SELECT vec_id AS id,
+       round(CAST(list_cosine_similarity(
+             embedding, (SELECT v FROM qv)) AS DOUBLE), 4) AS score
+FROM cand
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
     q["vector_lsh_topk"] = f"""
 WITH qv AS (
   SELECT embedding AS v FROM embeddings WHERE vec_id = 0

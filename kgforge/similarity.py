@@ -284,6 +284,91 @@ def write_bucketed_embeddings(
     )
 
 
+def _round_away(x: float, digits: int = 4) -> float:
+    """Round half away from zero — Spark F.round / DuckDB round()
+    semantics (Python's round() is banker's and would diverge on
+    exact .5 boundaries)."""
+    import math
+
+    scale = 10 ** digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
+def ivf_cell_col(vec_col, centroids: List[Sequence[float]]):
+    """IVF list assignment: index of the nearest centroid by cosine
+    (rounded to 4 decimals, first-index tie-break — the same total
+    order the DuckDB oracle and :func:`ivf_probe_cells` use).  Pure
+    column expression over a driver-held codebook, the standard IVF
+    shape: at 100 TB the codebook is k-means-trained and broadcast;
+    here it is seeded deterministically by the caller."""
+    scores = F.array(
+        *[F.round(cosine_score(vec_col, c), 4) for c in centroids]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    query: Sequence[float], centroids: List[Sequence[float]], nprobe: int
+) -> List[int]:
+    """The query's ``nprobe`` nearest IVF cells (score desc, cell asc
+    — mirrors the cell-assignment total order)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    scored = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        cn = float(np.linalg.norm(cv)) or 1.0
+        scored.append((-_round_away(float(q @ cv) / (qn * cn)), i))
+    scored.sort()
+    return [i for _, i in scored[:nprobe]]
+
+
+def write_ivf_embeddings(
+    path: str,
+    embeddings: DataFrame,
+    centroids: List[Sequence[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the vector table partitioned by IVF cell
+    (``cell=K`` directories).  Query-time ANN reads ONLY the probed
+    cells — partition pruning via an IN-list instead of the LSH
+    variant's single-bucket equality."""
+    df = embeddings.withColumn(
+        "cell", ivf_cell_col(F.col(vec_col), centroids)
+    )
+    (
+        df.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    centroids: List[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the query's
+    ``nprobe`` nearest cells.  With a pre-partitioned table
+    (:func:`write_ivf_embeddings`, carrying a ``cell`` column) the
+    probe set becomes a partition IN-filter; otherwise cells are
+    computed on the fly (test scale).  ``nprobe = len(centroids)``
+    probes everything — exact, same plan shape."""
+    probes = ivf_probe_cells(query, centroids, nprobe)
+    if "cell" in embeddings.columns:
+        candidates = embeddings.filter(F.col("cell").isin(probes))
+    else:
+        candidates = embeddings.withColumn(
+            "cell", ivf_cell_col(F.col(vec_col), centroids)
+        ).filter(F.col("cell").isin(probes))
+    return brute_force_topk(candidates, query, k, id_col, vec_col)
+
+
 def assert_partition_pruned(df: DataFrame, bucket: int) -> None:
     """Fail loudly if the ANN scan is NOT partition-pruned to the
     query's bucket directory — promoted from the pytest plan check
@@ -297,6 +382,18 @@ def assert_partition_pruned(df: DataFrame, bucket: int) -> None:
     ):
         raise AssertionError(
             f"ANN scan not partition-pruned to bucket={bucket}:\n{plan}"
+        )
+
+
+def assert_cell_pruned(df: DataFrame) -> None:
+    """IVF variant of :func:`assert_partition_pruned`: the probed
+    cells must appear as a partition IN-filter on the scan."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if not re.search(r"PartitionFilters: \[[^\]]*cell#\d+", plan):
+        raise AssertionError(
+            f"IVF scan not partition-pruned on cell:\n{plan}"
         )
 
 

@@ -166,3 +166,42 @@ def test_knn_join_bucketed_uses_precomputed_buckets(spark, emb, tmp_path):
     ).collect()
     exact = similarity.knn_join(queries, emb, 3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark, emb):
+    """nprobe = n_centroids probes everything: results must equal
+    brute force through the same pruned plan shape."""
+    cent = [r.embedding for r in
+            emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    centroids = [list(c) for c in cent]
+    query = emb.filter(F.col("vec_id") == 0).head()[1]
+    exact = similarity.brute_force_topk(emb, query, 5).collect()
+    got = similarity.ivf_topk(
+        emb, query, centroids, 5, nprobe=len(centroids)
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+
+def test_ivf_partitioned_scan_prunes_to_probed_cells(spark, emb, tmp_path):
+    from kgforge.similarity import (
+        assert_cell_pruned,
+        ivf_probe_cells,
+        ivf_topk,
+        write_ivf_embeddings,
+    )
+
+    centroids = [list(r.embedding) for r in
+                 emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()]
+    query = emb.filter(F.col("vec_id") == 0).head()[1]
+    path = str(tmp_path / "ivf")
+    write_ivf_embeddings(path, emb, centroids)
+    pre = spark.read.parquet(path)
+    out = ivf_topk(pre, query, centroids, 5, nprobe=2)
+    assert_cell_pruned(out)
+    rows = out.collect()
+    assert any(r.id == 0 for r in rows)  # self lives in the top probe
+    # identical to the on-the-fly path (same probes, same candidates)
+    onfly = ivf_topk(emb, query, centroids, 5, nprobe=2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in onfly]
+    # probe selection is a strict subset of cells
+    assert len(ivf_probe_cells(query, centroids, 2)) == 2
