@@ -27,6 +27,8 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from kgforge.pipeline import PipelineConfig, run_insert
 from kgforge.schemas import REPOS_SCHEMA
@@ -74,6 +76,74 @@ def run_incremental_ingest(
     )
     q.awaitTermination()
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# Watermarked event-time windowed aggregation (late-data handling)
+# ---------------------------------------------------------------------------
+
+
+def streaming_windowed_doc_stats(
+    spark: SparkSession,
+    corpus_dir: str,
+    stream_checkpoint_dir: str,
+    out_dir: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Event-time windowed ingest statistics with a WATERMARK — the
+    late-data member of the streaming family: per (window, lang) doc
+    counts and byte volume over an ``event_time`` column, append mode
+    (a window emits exactly once, when the watermark passes its end;
+    rows later than the watermark are DROPPED, never double-counted).
+
+    Input: repos-shaped rows plus an ``event_time`` timestamp (at
+    scale, the commit/crawl time riding a Kafka/Iceberg-CDC log).
+    Watermark and window state live in the stream checkpoint, so
+    late-data decisions survive restarts like the dedup operator's
+    state.  Scale shape: the aggregation is a standard partial-agg
+    shuffle on (window, lang); state size is bounded by
+    windows-in-flight x languages, independent of corpus size.
+    """
+    from pyspark.sql.types import StructField, TimestampType
+
+    schema = StructType(
+        list(REPOS_SCHEMA.fields)
+        + [StructField("event_time", TimestampType(), False)]
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.load(corpus_dir)
+    agg = (
+        stream.withWatermark("event_time", watermark_delay)
+        .groupBy(
+            F.window("event_time", window_duration).alias("win"), "lang"
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("content")).alias("n_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "lang",
+            "n_docs",
+            "n_bytes",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", stream_checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 # ---------------------------------------------------------------------------

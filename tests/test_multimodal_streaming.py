@@ -205,3 +205,62 @@ def test_real_decode_rejects_corrupt_and_video(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, Py4JJavaError
     )
+
+
+def test_streaming_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked event-time windows: a window emits exactly once
+    when the watermark passes its end, and a row arriving after the
+    watermark is DROPPED — never double-counted into an emitted
+    window.  Watermark state survives across restarts via the stream
+    checkpoint (three sequential AvailableNow runs)."""
+    import datetime as dt
+
+    from kgforge.streaming import streaming_windowed_doc_stats
+
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp"
+    )
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(corpus)
+
+    def run():
+        streaming_windowed_doc_stats(
+            spark, corpus, ckpt, out,
+            window_duration="10 minutes", watermark_delay="5 minutes",
+        )
+
+    # run 1: two on-time rows inside [10:00, 10:10) — window still open
+    write([
+        ("r", "a.txt", "c", "text", "aaaa", t + dt.timedelta(minutes=1)),
+        ("r", "b.txt", "c", "text", "bb", t + dt.timedelta(minutes=4)),
+    ], "f1")
+    run()
+    # run 2: event at 10:30 advances the watermark to 10:25
+    write([
+        ("r", "c.txt", "c", "text", "cc", t + dt.timedelta(minutes=30)),
+    ], "f2")
+    run()
+    # run 3: a LATE row for the closed window (10:03 < watermark)
+    # plus a fresh event that triggers emission of closed windows
+    write([
+        ("r", "late.txt", "c", "text", "zzzz", t + dt.timedelta(minutes=3)),
+        ("r", "d.txt", "c", "text", "dd", t + dt.timedelta(minutes=40)),
+    ], "f3")
+    run()
+
+    got = {
+        (r.window_start.minute, r.lang): (r.n_docs, r.n_bytes)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the [10:00, 10:10) window emitted with the two ON-TIME rows only
+    assert got[(0, "text")] == (2, 6), got
+    # the late row neither re-emitted the window nor inflated it
+    assert all(start == 0 or start >= 30 for start, _ in got)
