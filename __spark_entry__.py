@@ -417,6 +417,39 @@ def q_kg_chunks_go(spark, sf_dir):
     return chunks.select("chunk_id", "doc_id", "order_index", "content")
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Custom STATEFUL STREAMING operator in the graded surface:
+    applyInPandasWithState exact-dedup (streaming.py) over a
+    synthesized duplicate-heavy corpus (content keyed by doc_id % 250
+    -> every content arrives ~20x at sf0.1).  One AvailableNow batch
+    makes the winner deterministic (lexicographic min path per sha),
+    so the stateful operator is fully SQL-expressible and
+    oracle-checked — not a rows-only row."""
+    import tempfile
+
+    from kgforge.streaming import streaming_exact_dedup
+
+    root = tempfile.mkdtemp(prefix="kgforge-streamdedup-")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    repos = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+        F.lit("HEAD").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.concat(
+            F.lit("shared-"), (F.col("doc_id") % 250).cast("string")
+        ).alias("content"),
+    )
+    repos.write.parquet(root + "/in")
+    streaming_exact_dedup(spark, root + "/in", root + "/ckpt",
+                          root + "/out")
+    return spark.read.parquet(root + "/out").select(
+        "content_sha", "repo", "path", "lang", "content"
+    )
+
+
 def q_kg_chunks_semantic(spark, sf_dir):
     """C3: the semantic chunker (deterministic paragraph
     span-proposer, handler/semantic.go:63-214) over a synthesized
@@ -620,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "kg_chunks_go": q_kg_chunks_go,
         "kg_chunks_semantic": q_kg_chunks_semantic,
+        "streaming_dedup": q_streaming_dedup,
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,
         "kg_local_entities": q_kg_local_entities,

@@ -104,6 +104,7 @@ def main() -> None:
         "ngram_jaccard",
         "kg_chunks_go",
         "kg_chunks_semantic",
+        "streaming_dedup",
         "kg_summary",
         "unembedded_chunks",
         "kg_local_entities",

@@ -336,6 +336,26 @@ SELECT doc_id || '-chunk-2', doc_id, CAST(2 AS INTEGER),
 FROM g
 """
 
+    # Stateful streaming dedup parity (__spark_entry__.
+    # q_streaming_dedup): with one AvailableNow batch the
+    # applyInPandasWithState operator admits, per content sha, the
+    # lexicographically-smallest path's row — a plain window in SQL.
+    q["streaming_dedup"] = """
+WITH r AS (
+  SELECT source AS repo,
+         CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         'text' AS lang,
+         'shared-' || CAST(doc_id % 250 AS VARCHAR) AS content
+  FROM documents
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY content ORDER BY path) AS rn
+  FROM r
+)
+SELECT sha256(content) AS content_sha, repo, path, lang, content
+FROM w WHERE rn = 1
+"""
+
     # C3 semantic-chunker parity over the synthesized paragraph corpus
     # (__spark_entry__.q_kg_chunks_semantic): the deterministic
     # paragraph proposer spans each blank-line paragraph, every span is
