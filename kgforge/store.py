@@ -86,10 +86,17 @@ class ParquetTableStore:
         spark: SparkSession,
         root: str,
         n_buckets: int = DEFAULT_N_BUCKETS,
+        retain_history: bool = False,
     ):
+        """``retain_history=True`` keeps replaced generation dirs on
+        disk after commits, enabling snapshot time travel via
+        :meth:`read_at` / :meth:`snapshots` (Iceberg snapshot reads);
+        :meth:`vacuum` is then the explicit expiration step.  The
+        default GCs replaced dirs eagerly."""
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self.retain_history = retain_history
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -462,8 +469,11 @@ class ParquetTableStore:
             manifest["tables"][s.name] = s.entry
             replaced.extend(s.replaced_dirs)
         self._write_manifest(manifest)
-        for d in replaced:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        if not self.retain_history:
+            for d in replaced:
+                shutil.rmtree(
+                    os.path.join(self.root, d), ignore_errors=True
+                )
 
     def upsert(
         self,
@@ -477,6 +487,47 @@ class ParquetTableStore:
         staged = self.stage_upsert(name, df, keys)
         self.commit([staged])
         return staged
+
+    # ------------------------------------------------------------------
+    # snapshot time travel (retain_history=True stores)
+    # ------------------------------------------------------------------
+
+    def snapshots(self) -> List[int]:
+        """Committed snapshot versions, oldest first (one per manifest
+        file still on disk)."""
+        return sorted(
+            int(f.split("-")[1])
+            for f in os.listdir(self._mdir())
+            if f.startswith("m-")
+        )
+
+    def _manifest_at(self, version: int) -> dict:
+        for f in os.listdir(self._mdir()):
+            if f.startswith("m-%08d-" % version):
+                with open(os.path.join(self._mdir(), f)) as fh:
+                    return json.load(fh)
+        raise ValueError(f"no snapshot with version {version}")
+
+    def read_at(self, name: str, version: int) -> Optional[DataFrame]:
+        """Read ``name`` as of snapshot ``version`` (Iceberg
+        ``VERSION AS OF``).  Requires ``retain_history=True`` (or a
+        not-yet-vacuumed store): generation dirs referenced only by
+        old manifests are otherwise GCed at commit; vacuum() is the
+        snapshot-expiration step."""
+        t = self._manifest_at(version)["tables"].get(name)
+        if t is None:
+            return None
+        missing = [
+            d for d in self._live_dirs(t)
+            if not os.path.isdir(os.path.join(self.root, d))
+        ]
+        if missing:
+            raise ValueError(
+                f"snapshot {version} of '{name}' is expired: "
+                f"missing {missing[:3]} (construct the store with "
+                "retain_history=True to keep history)"
+            )
+        return self._read_entry(t)
 
     def drop(self, name: str) -> None:
         manifest = self._manifest()

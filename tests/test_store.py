@@ -268,3 +268,51 @@ def test_exists_recognizes_partitioned_plain_tables(spark, tmp_path):
     )
     got = {r.key: r.val for r in store.read("ptab").collect()}
     assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_snapshot_time_travel_with_history(spark, tmp_path):
+    """Manifest commits give Iceberg-style snapshot reads for free:
+    with retain_history=True each committed version stays readable
+    (VERSION AS OF); vacuum() is the expiration step."""
+    store = ParquetTableStore(
+        spark, str(tmp_path / "t"), n_buckets=4, retain_history=True
+    )
+    store.upsert(
+        "tbl", spark.createDataFrame([("a", 1)], "key string, val long"),
+        ["key"],
+    )
+    v1 = store.snapshots()[-1]
+    store.upsert(
+        "tbl",
+        spark.createDataFrame([("a", 9), ("b", 2)], "key string, val long"),
+        ["key"],
+    )
+    v2 = store.snapshots()[-1]
+    assert v2 > v1
+    # current read sees the merge; snapshot read sees the past
+    assert {r.val for r in store.read("tbl").collect()} == {9, 2}
+    assert {(r.key, r.val) for r in store.read_at("tbl", v1).collect()} \
+        == {("a", 1)}
+    assert {(r.key, r.val) for r in store.read_at("tbl", v2).collect()} \
+        == {("a", 9), ("b", 2)}
+    # expiration: vacuum reclaims dirs unreferenced by CURRENT
+    store.vacuum()
+    with pytest.raises(ValueError, match="expired"):
+        store.read_at("tbl", v1)
+    # current state untouched
+    assert {r.val for r in store.read("tbl").collect()} == {9, 2}
+
+
+def test_eager_gc_store_has_no_history(spark, tmp_path):
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    store.upsert(
+        "tbl", spark.createDataFrame([("a", 1)], "key string, val long"),
+        ["key"],
+    )
+    v1 = store.snapshots()[-1]
+    store.upsert(
+        "tbl", spark.createDataFrame([("a", 2)], "key string, val long"),
+        ["key"],
+    )
+    with pytest.raises(ValueError, match="expired"):
+        store.read_at("tbl", v1)
