@@ -48,5 +48,10 @@ def test_spark_submit_py_files_ingest(spark, tmp_path):
         [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert metrics["docs_processed"] == 8 and metrics["n_chunks"] == 8
-    # the store the submitted job wrote is readable here
-    assert spark.read.parquet(f"{store_dir}/nodes").count() > 0
+    # the store the submitted job wrote is readable here — through the
+    # manifest catalog (tables are generation dirs resolved via
+    # _manifest/CURRENT, not bare parquet paths)
+    from kgforge.store import ParquetTableStore
+
+    reader = ParquetTableStore(spark, store_dir)
+    assert reader.read("nodes").count() > 0
