@@ -84,11 +84,22 @@ def knn_join(
     qvec_col: str = "embedding",
     cid_col: str = "vec_id",
     cvec_col: str = "embedding",
+    broadcast_threshold: int = 64,
 ) -> DataFrame:
-    """Batch k-NN join: broadcast the query side, score every
-    (query, corpus) pair JVM-side, keep top-k per query via window.
-    At scale replace the crossJoin with lsh_bucket join on shared
-    bucket keys."""
+    """Batch k-NN join.  Above ``broadcast_threshold`` query rows the
+    LSH-bucket equi-join (:func:`knn_join_bucketed`, exhaustive
+    probes — exact, no crossJoin) is the default; at or below it, a
+    broadcast of the tiny query side scored against every corpus row
+    is cheaper than bucketing both sides."""
+    n_queries = queries.count()
+    if n_queries > broadcast_threshold:
+        dim = len(queries.select(qvec_col).head()[0])
+        return knn_join_bucketed(
+            queries, corpus, k,
+            qid_col=qid_col, qvec_col=qvec_col,
+            cid_col=cid_col, cvec_col=cvec_col,
+            probe_hamming=None, dim=dim,
+        )
     q = F.broadcast(
         queries.select(
             F.col(qid_col).alias("query_id"),

@@ -488,6 +488,60 @@ class ParquetTableStore:
         self.commit([staged])
         return staged
 
+    def compact(
+        self, name: str, target_files_per_bucket: int = 1
+    ) -> dict:
+        """Small-file maintenance (Iceberg ``rewrite_data_files``):
+        rewrite every bucket holding more parquet files than the
+        target into one file, as a normal snapshot commit — readers
+        never see a half-compacted table.  Bulk loads write one file
+        per producing task per bucket (no shuffle by design), so a
+        wide bulk load is the typical candidate.  Returns
+        {bucket: files_before} for the rewritten buckets."""
+        t = self._manifest()["tables"].get(name)
+        if not t or t["layout"] != "bucketed":
+            return {}
+        schema = self._schema_of(t)
+        gen = uuid.uuid4().hex[:8]
+        tdir = self._path(name)
+        buckets = dict(t["buckets"])
+        rewritten: dict = {}
+        replaced: List[str] = []
+        staged_dirs: List[str] = []
+        for b, dname in t["buckets"].items():
+            full = os.path.join(self.root, dname)
+            if not os.path.isdir(full):
+                continue
+            files = [
+                f for f in os.listdir(full) if f.endswith(".parquet")
+            ]
+            if len(files) <= target_files_per_bucket:
+                continue
+            new_rel = os.path.join(name, f"b{b}-{gen}")
+            (
+                self.spark.read.schema(schema).parquet(full)
+                .coalesce(target_files_per_bucket)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.root, new_rel))
+            )
+            rewritten[int(b)] = len(files)
+            replaced.append(dname)
+            staged_dirs.append(new_rel)
+            buckets[b] = new_rel
+        if not rewritten:
+            return {}
+        entry = dict(t)
+        entry["buckets"] = buckets
+        self.commit([
+            StagedWrite(
+                name=name, entry=entry, replaced_dirs=replaced,
+                staged_dirs=staged_dirs,
+                buckets_touched=len(rewritten),
+                n_buckets=self.n_buckets,
+            )
+        ])
+        return rewritten
+
     # ------------------------------------------------------------------
     # snapshot time travel (retain_history=True stores)
     # ------------------------------------------------------------------

@@ -205,3 +205,22 @@ def test_ivf_partitioned_scan_prunes_to_probed_cells(spark, emb, tmp_path):
     assert [tuple(r) for r in rows] == [tuple(r) for r in onfly]
     # probe selection is a strict subset of cells
     assert len(ivf_probe_cells(query, centroids, 2)) == 2
+
+
+def test_knn_join_auto_dispatch_above_threshold(spark, emb):
+    """knn_join defaults to the bucketed equi-join above the
+    query-count threshold (VERDICT r2 item 2), with identical results
+    (exhaustive probing is exact)."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    via_broadcast = similarity.knn_join(
+        queries, emb, 3, broadcast_threshold=1000
+    )
+    via_bucketed = similarity.knn_join(
+        queries, emb, 3, broadcast_threshold=2
+    )
+    plan = via_bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert sorted(map(tuple, via_bucketed.collect())) == sorted(
+        map(tuple, via_broadcast.collect())
+    )

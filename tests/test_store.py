@@ -316,3 +316,25 @@ def test_eager_gc_store_has_no_history(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="expired"):
         store.read_at("tbl", v1)
+
+
+def test_compact_rewrites_multifile_buckets_atomically(spark, tmp_path):
+    """Iceberg rewrite_data_files analog: a wide bulk load leaves one
+    file per producing task per bucket; compact() coalesces each
+    oversized bucket through a snapshot commit with data intact."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    wide = spark.range(0, 400, 1, 16).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.col("id").alias("val"),
+    )
+    store.upsert("tbl", wide, ["key"])  # bulk path: no shuffle
+    before = store.bucket_files("tbl")
+    assert any(len(files) > 1 for files in before.values())
+    rewritten = store.compact("tbl")
+    assert rewritten  # something to do
+    after = store.bucket_files("tbl")
+    assert all(len(files) == 1 for files in after.values())
+    got = {r.key: r.val for r in store.read("tbl").collect()}
+    assert len(got) == 400 and got["k7"] == 7
+    # idempotent: second pass is a no-op
+    assert store.compact("tbl") == {}
