@@ -319,22 +319,38 @@ def test_eager_gc_store_has_no_history(spark, tmp_path):
 
 
 def test_compact_rewrites_multifile_buckets_atomically(spark, tmp_path):
-    """Iceberg rewrite_data_files analog: a wide bulk load leaves one
-    file per producing task per bucket; compact() coalesces each
-    oversized bucket through a snapshot commit with data intact."""
+    """Iceberg rewrite_data_files analog.  The store's own writes now
+    emit one file per bucket (the shuffle-free bulk path was retired
+    as ~10x slower), so simulate accumulated write debt — the
+    wide-parallelism configuration a huge table would use — by
+    appending extra files into live bucket dirs; compact() coalesces
+    each oversized bucket through a snapshot commit, rows intact."""
+    import os
+
     store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
-    wide = spark.range(0, 400, 1, 16).select(
+    base = spark.range(0, 400).select(
         F.concat(F.lit("k"), F.col("id")).alias("key"),
         F.col("id").alias("val"),
     )
-    store.upsert("tbl", wide, ["key"])  # bulk path: no shuffle
+    store.upsert("tbl", base, ["key"])
+    # add a second file to every bucket dir (distinct key space so
+    # row counts are easy to pin)
+    extra = spark.range(400, 500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.col("id").alias("val"),
+    )
+    t = store._manifest()["tables"]["tbl"]
+    for dname in t["buckets"].values():
+        extra.limit(5).coalesce(1).write.mode("append").parquet(
+            os.path.join(store.root, dname)
+        )
     before = store.bucket_files("tbl")
-    assert any(len(files) > 1 for files in before.values())
+    assert all(len(files) > 1 for files in before.values())
+    n_before = store.read("tbl").count()
     rewritten = store.compact("tbl")
-    assert rewritten  # something to do
+    assert set(rewritten) == set(before)
     after = store.bucket_files("tbl")
     assert all(len(files) == 1 for files in after.values())
-    got = {r.key: r.val for r in store.read("tbl").collect()}
-    assert len(got) == 400 and got["k7"] == 7
+    assert store.read("tbl").count() == n_before
     # idempotent: second pass is a no-op
     assert store.compact("tbl") == {}
