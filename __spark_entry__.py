@@ -222,6 +222,14 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval: postings filtered to the query's terms
+    before aggregation, broadcast df/stats, TakeOrdered top-k."""
+    return textops.bm25_search(
+        _docs(spark, sf_dir), "customer orders stream", 10
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     sh = textops.shingle_rows(_docs(spark, sf_dir))
     sig = textops.minhash_signature_rows(sh, 16)
@@ -640,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "bm25_search": q_bm25_search,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,

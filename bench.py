@@ -91,6 +91,7 @@ def main() -> None:
         "language_id",
         "token_stats",
         "fingerprint",
+        "bm25_search",
         "minhash_signatures",
         "lsh_candidates",
         "simhash",

@@ -236,6 +236,37 @@ SELECT doc_id AS doc,
 FROM documents
 """
 
+    # BM25 parity (__spark_entry__.q_bm25_search): identical formula,
+    # k1=1.2 b=0.75, scores rounded to 4 decimals (per-doc term-sum
+    # float-order differences are ~1e-16, far under the rounding).
+    q["bm25_search"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, {_WORDS_EXPR} AS ws
+  FROM documents
+),
+dl AS (SELECT doc, len(ws) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tokens AS (
+  SELECT doc, t.term FROM base, unnest(ws) AS t(term)
+  WHERE t.term IN ('customer', 'orders', 'stream')
+),
+tf AS (SELECT doc, term, COUNT(*) AS tf FROM tokens GROUP BY doc, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+           AS sc
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc)
+  CROSS JOIN stats s
+)
+SELECT doc, round(SUM(sc), 4) AS score
+FROM scored GROUP BY doc
+ORDER BY score DESC, doc ASC LIMIT 10
+"""
+
     q["minhash_signatures"] = SHINGLES_CTE + f"""
 , sig AS (
   SELECT doc, {_minhash_sig_exprs(16)} FROM sh GROUP BY doc

@@ -348,3 +348,79 @@ def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
         F.col(id_col).alias("doc"),
         F.md5(norm).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical
+    counterpart of the embedding top-k (the reference's NaiveRAG
+    baseline retrieves chunks by similarity only; BM25 is the
+    standard sparse alternative a training-data pipeline needs for
+    query mining and dedup triage).
+
+    Scale shape: tokens are filtered to the QUERY's terms before any
+    aggregation (the per-(doc, term) tf aggregation touches only
+    matching postings), document length and corpus stats are partial
+    aggregations, the per-term document frequencies are a tiny frame
+    broadcast back, and the final top-k is TakeOrdered — no global
+    sort, no driver-side loop.  Scores round to 4 decimals with a
+    deterministic doc tie-break."""
+    q_terms = sorted(
+        {w for w in __import__("re").split("[^a-z]+", query.lower()) if w}
+    )
+    if not q_terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc string, score double"
+        )
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        _words(F.col(text_col)).alias("ws"),
+    )
+    dl = base.select("doc", F.size("ws").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tokens = base.select(
+        "doc", F.explode("ws").alias("term")
+    ).filter(F.col("term").isin(q_terms))
+    tf = tokens.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    df_ = F.broadcast(
+        tf.groupBy("term").agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = F.col("tf") / (
+        F.col("tf")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .join(dl, "doc")
+        .crossJoin(stats)
+        .select("doc", (idf * norm_tf).alias("s"))
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+    )

@@ -126,3 +126,34 @@ def test_lsh_candidate_recall_vs_exact_ground_truth(spark):
     missed = exact - cands
     recall = 1 - len(missed) / len(exact)
     assert recall == 1.0, f"LSH missed {missed} (recall {recall:.3f})"
+
+
+def test_bm25_search_ranks_by_term_coverage_and_rarity(spark):
+    from kgforge.textops import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark streams join the shuffle engine"),
+            (2, "spark spark spark spark"),
+            (3, "streams of data and more streams"),
+            (4, "completely unrelated text about gardens"),
+            (5, "spark streams"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_search(docs, "spark streams", 5).collect()
+    ids = [r.doc for r in got]
+    assert "4" not in ids  # no matching term, no row
+    scores = {r.doc: r.score for r in got}
+    # docs with BOTH terms outrank single-term docs
+    assert scores["5"] > scores["2"]
+    assert scores["1"] > scores["3"] or scores["1"] > scores["2"]
+    # deterministic ordering
+    assert got == sorted(got, key=lambda r: (-r.score, r.doc))
+
+
+def test_bm25_empty_query_returns_empty(spark):
+    from kgforge.textops import bm25_search
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bm25_search(docs, "123 !!!", 5).count() == 0
