@@ -230,6 +230,12 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_winnow_near_dup(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint near-dup: window-min k-gram
+    hashes -> shared-fingerprint candidates -> Jaccard verify."""
+    return textops.winnow_near_dup(_docs(spark, sf_dir), 0.35)
+
+
 def q_minhash_signatures(spark, sf_dir):
     sh = textops.shingle_rows(_docs(spark, sf_dir))
     sig = textops.minhash_signature_rows(sh, 16)
@@ -649,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "bm25_search": q_bm25_search,
+        "winnow_near_dup": q_winnow_near_dup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,

@@ -92,6 +92,7 @@ def main() -> None:
         "token_stats",
         "fingerprint",
         "bm25_search",
+        "winnow_near_dup",
         "minhash_signatures",
         "lsh_candidates",
         "simhash",

@@ -267,6 +267,49 @@ FROM scored GROUP BY doc
 ORDER BY score DESC, doc ASC LIMIT 10
 """
 
+    # Winnowing parity (__spark_entry__.q_winnow_near_dup): the
+    # selected fingerprint set = distinct w-window minima over the
+    # ordered k-gram hash sequence (global min for docs shorter than
+    # one window), identical frames in both engines.
+    q["winnow_near_dup"] = f"""
+WITH wds AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+),
+g AS (
+  SELECT doc, i AS pos,
+         md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+  FROM wds, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+wm AS (
+  SELECT doc,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(h) OVER (PARTITION BY doc ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in
+  FROM g
+),
+cnt AS (SELECT doc, COUNT(*) AS ng, MIN(h) AS minh FROM g GROUP BY doc),
+fullw AS (
+  SELECT DISTINCT wm.doc, wmin AS fp
+  FROM wm JOIN cnt USING (doc) WHERE ng >= 4 AND n_in = 4
+),
+shortd AS (SELECT doc, minh AS fp FROM cnt WHERE ng < 4),
+fps AS (SELECT * FROM fullw UNION ALL SELECT * FROM shortd),
+sizes AS (SELECT doc, COUNT(*) AS n FROM fps GROUP BY doc),
+shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b, shared,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS sim
+FROM shared
+JOIN sizes sa ON sa.doc = shared.doc_a
+JOIN sizes sb ON sb.doc = shared.doc_b
+WHERE round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) >= 0.35
+"""
+
     q["minhash_signatures"] = SHINGLES_CTE + f"""
 , sig AS (
   SELECT doc, {_minhash_sig_exprs(16)} FROM sh GROUP BY doc

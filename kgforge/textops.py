@@ -424,3 +424,106 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc("doc"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS-style) fingerprint near-dup
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-gram, slide a w-gram window, keep each
+    window's MIN hash — the selected set is a position-robust
+    document sketch whose overlap estimates containment better than
+    MinHash for partial-copy detection.
+
+    Set-based re-expression: the selected fingerprint SET equals the
+    distinct window minima, so one window-function min over the
+    ordered gram sequence replaces the sequential scan.  Docs with
+    fewer than w grams keep their global min hash (every non-empty
+    doc gets >= 1 fingerprint).  Shuffles key on doc id — uniform."""
+    ex = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(_words(F.col(text_col))).alias("pos", "wd"),
+    )
+    owin = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("wd")] + [
+        F.lead("wd", i).over(owin) for i in range(1, k)
+    ]
+    grams = ex.select(
+        "doc",
+        "pos",
+        F.when(
+            parts[-1].isNotNull(),
+            F.md5(F.concat_ws(" ", *parts)),
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    fwin = (
+        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wm = grams.select(
+        "doc",
+        F.min("h").over(fwin).alias("wmin"),
+        F.count("h").over(fwin).alias("n_in"),
+    )
+    counts = grams.groupBy("doc").agg(
+        F.count("*").alias("ng"), F.min("h").alias("minh")
+    )
+    full = (
+        wm.join(counts, "doc")
+        .filter((F.col("ng") >= w) & (F.col("n_in") == w))
+        .select("doc", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    short = counts.filter(F.col("ng") < w).select(
+        "doc", F.col("minh").alias("fp")
+    )
+    return full.unionByName(short)
+
+
+def winnow_near_dup(
+    docs: DataFrame,
+    threshold: float = 0.35,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint Jaccard:
+    candidates must SHARE a fingerprint (equi-self-join on the hash —
+    quadratic only within one fingerprint's posting list, never
+    all-pairs), then |shared| / |union| verifies the pair."""
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col)
+    sizes = fps.groupBy("doc").agg(F.count("*").alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    sim = F.round(
+        F.col("shared")
+        / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        4,
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "shared", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

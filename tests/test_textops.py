@@ -157,3 +157,30 @@ def test_bm25_empty_query_returns_empty(spark):
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert bm25_search(docs, "123 !!!", 5).count() == 0
+
+
+def test_winnow_near_dup_detects_partial_copies(spark):
+    from kgforge.textops import winnow_fingerprints, winnow_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a small tail appended here"),
+            (3, "completely different words about database engines "
+                "and shuffle partitions in cluster computing"),
+            (4, "tiny doc here"),  # exactly one 3-gram (< w window)
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.sim
+             for r in winnow_near_dup(docs, 0.3).collect()}
+    assert (1, 2) in pairs  # partial copy found
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3}
+               for a, b in pairs)  # unrelated never pairs
+    # every doc with >= k words gets >= 1 fingerprint (short-doc
+    # fallback: fewer grams than one window -> global min); docs
+    # under k words have no k-grams at all, like every k-gram sketch
+    fps = winnow_fingerprints(docs).groupBy("doc").count().collect()
+    assert {r.doc for r in fps} == {1, 2, 3, 4}
