@@ -354,3 +354,56 @@ def test_compact_rewrites_multifile_buckets_atomically(spark, tmp_path):
     assert store.read("tbl").count() == n_before
     # idempotent: second pass is a no-op
     assert store.compact("tbl") == {}
+
+
+def test_store_merge_matches_dict_model_property(spark, tmp_path):
+    """Model-based property: any sequence of keyed upserts/overwrites
+    must leave the table equal to a plain dict applying the same
+    operations (new rows win on key collision; overwrite replaces
+    everything).  Randomized via hypothesis over a small key pool so
+    collisions, bucket reuse and the migration path all get hit."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.sampled_from([f"k{i}" for i in range(6)])
+    batch = st.lists(
+        st.tuples(keys, st.integers(0, 99)), min_size=1, max_size=4
+    )
+    ops = st.lists(
+        st.tuples(st.sampled_from(["upsert", "overwrite"]), batch),
+        min_size=1,
+        max_size=5,
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(ops=ops)
+    def run(ops):
+        counter[0] += 1
+        store = ParquetTableStore(
+            spark, str(tmp_path / f"prop{counter[0]}"), n_buckets=4
+        )
+        model = {}
+        for op, rows in ops:
+            # dedup within a batch up front: the engine's
+            # dropDuplicates keeps an arbitrary row per key, so the
+            # model and the engine must see an already-unique batch
+            batch_map = {}
+            for k, v in rows:
+                batch_map.setdefault(k, v)
+            df = spark.createDataFrame(
+                list(batch_map.items()), "key string, val long"
+            )
+            if op == "upsert":
+                store.upsert("t", df, ["key"])
+                model.update(batch_map)
+            else:
+                store.overwrite("t", df, keys=["key"])
+                model = dict(batch_map)
+        got = {r.key: r.val for r in store.read("t").collect()}
+        assert got == model
+
+    run()
