@@ -431,6 +431,39 @@ def q_kg_chunks_go(spark, sf_dir):
     return chunks.select("chunk_id", "doc_id", "order_index", "content")
 
 
+def q_kg_chunks_markdown(spark, sf_dir):
+    """C4: the markdown chunker through the REAL fused dispatch
+    (lang='markdown'): a synthesized two-section document per row —
+    small enough that HeaderHierarchy + min-chunk merge collapse it
+    to ONE chunk equal to the stripped source, which the oracle
+    reconstructs (markdown.go:397-461, 642-651 semantics)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    content = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# Document "), did),
+        F.lit(""),
+        F.concat(F.lit("Overview paragraph for doc "), did,
+                 F.lit(" covering digest "), F.md5(txt), F.lit(".")),
+        F.lit(""),
+        F.lit("## Details"),
+        F.lit(""),
+        F.concat(F.lit("Length note: "), F.length(txt).cast("string"),
+                 F.lit(" characters.")),
+    )
+    repos = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(did, F.lit(".md")).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.lit("markdown").alias("lang"),
+        content.alias("content"),
+    )
+    cfg = PipelineConfig()
+    chunks, _rejects, _ents, _rels = extract_mentions(repos, cfg)
+    return chunks.select("chunk_id", "doc_id", "order_index", "content")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Custom STATEFUL STREAMING operator in the graded surface:
     applyInPandasWithState exact-dedup (streaming.py) over a
@@ -669,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "kg_chunks_go": q_kg_chunks_go,
         "kg_chunks_semantic": q_kg_chunks_semantic,
+        "kg_chunks_markdown": q_kg_chunks_markdown,
         "streaming_dedup": q_streaming_dedup,
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,

@@ -106,6 +106,7 @@ def main() -> None:
         "ngram_jaccard",
         "kg_chunks_go",
         "kg_chunks_semantic",
+        "kg_chunks_markdown",
         "streaming_dedup",
         "kg_summary",
         "unembedded_chunks",

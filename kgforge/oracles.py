@@ -410,6 +410,29 @@ SELECT doc_id || '-chunk-2', doc_id, CAST(2 AS INTEGER),
 FROM g
 """
 
+    # C4 markdown-chunker parity (__spark_entry__.
+    # q_kg_chunks_markdown): the synthesized two-section document is
+    # far under every window, so HeaderHierarchy + min-chunk merge
+    # emit ONE chunk == the stripped source.
+    q["kg_chunks_markdown"] = """
+WITH m AS (
+  SELECT source || ':' || CAST(doc_id AS VARCHAR) || '.md@HEAD' AS doc_id,
+         CAST(doc_id AS VARCHAR) AS id,
+         md5(coalesce(text, '')) AS dg,
+         length(coalesce(text, '')) AS n
+  FROM documents
+)
+SELECT doc_id || '-chunk-0' AS chunk_id, doc_id,
+       CAST(0 AS INTEGER) AS order_index,
+       '# Document ' || id || chr(10) || chr(10) ||
+       'Overview paragraph for doc ' || id || ' covering digest ' ||
+       dg || '.' || chr(10) || chr(10) ||
+       '## Details' || chr(10) || chr(10) ||
+       'Length note: ' || CAST(n AS VARCHAR) || ' characters.'
+         AS content
+FROM m
+"""
+
     # Stateful streaming dedup parity (__spark_entry__.
     # q_streaming_dedup): with one AvailableNow batch the
     # applyInPandasWithState operator admits, per content sha, the
