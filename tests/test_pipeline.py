@@ -239,3 +239,68 @@ def test_fused_udf_matches_standalone_chunker(spark):
         == {r.doc_id for r in rejects_p.collect()}
         == {"r1:bad.go@c"}
     )
+
+
+def test_crash_mid_commit_then_rerun_converges_exactly(spark, tmp_path):
+    """End-to-end durability: kill run_insert at the manifest pointer
+    swap (after ALL staging, the last possible instant), then re-run.
+    The sha-gate re-admits every doc because the checkpoint never
+    became visible — and because the graph tables ALSO never became
+    visible, the re-run converges to exactly a clean single run's
+    state: no double-counted additive edge weights (the failure mode
+    the old multi-rename commit window allowed)."""
+    import pytest as _pytest
+
+    from kgforge.pipeline import PipelineConfig, run_insert
+    from kgforge.store import ParquetTableStore
+
+    def docs(spark):
+        rows = [
+            ("r1", f"f{a}.txt", "HEAD", "text",
+             f"document {a} about spark tables joining streams")
+            for a in range(12)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+
+    cfg = PipelineConfig(chunk_max_tokens=512, chunk_overlap_tokens=0)
+
+    # reference: one clean run
+    ref_store = ParquetTableStore(spark, str(tmp_path / "ref"))
+    run_insert(spark, docs(spark), ref_store, cfg)
+    ref_edges = {
+        (r.src, r.dst): r.weight
+        for r in ref_store.read("edges").collect()
+    }
+
+    # crash run: fail the atomic pointer swap once
+    store = ParquetTableStore(spark, str(tmp_path / "crash"))
+    real_replace = store._replace
+    state = {"fail": True}
+
+    def flaky(src, dst):
+        if state["fail"]:
+            state["fail"] = False
+            raise OSError("simulated crash at commit")
+        return real_replace(src, dst)
+
+    store._replace = flaky
+    with _pytest.raises(OSError):
+        run_insert(spark, docs(spark), store, cfg)
+    # nothing became visible
+    assert store.read("edges") is None
+    assert store.read("checkpoint") is None
+
+    # resume: plain re-run converges to the clean-run state exactly
+    m = run_insert(spark, docs(spark), store, cfg)
+    assert m["docs_processed"] == 12
+    got = {
+        (r.src, r.dst): r.weight for r in store.read("edges").collect()
+    }
+    assert got == ref_edges  # no double-counted weights
+    # and a third run is a pure no-op
+    m2 = run_insert(spark, docs(spark), store, cfg)
+    assert m2["docs_processed"] == 0
