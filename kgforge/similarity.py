@@ -23,6 +23,8 @@ Two paths, same results contract:
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -138,6 +140,7 @@ def knn_join_bucketed(
     cid_col: str = "vec_id",
     cvec_col: str = "embedding",
     dim: int | None = None,
+    corpus_n_planes: int | None = None,
 ) -> DataFrame:
     """Batch k-NN as an LSH-bucket EQUI-join — the many-query scale
     path (VERDICT r2 item 2): both sides carry their random-hyperplane
@@ -183,6 +186,7 @@ def knn_join_bucketed(
         ).alias("bucket"),
     )
     if "bucket" in corpus.columns:
+        _validate_bucket_planes(corpus, n_planes, corpus_n_planes)
         c = corpus.select(
             F.col(cid_col).alias("neighbor_id"),
             F.col(cvec_col).alias("cvec"),
@@ -210,6 +214,66 @@ def knn_join_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# Sidecar written next to a pre-bucketed table recording WHICH
+# hyperplane family produced its bucket column.  The leading
+# underscore keeps Spark's parquet reader from treating it as data.
+LSH_META = "_lsh_meta.json"
+
+
+def bucketed_meta_of(df: DataFrame) -> dict | None:
+    """Recover the ``_lsh_meta.json`` sidecar of the table a
+    DataFrame was read from, if any (walk up from an input file past
+    the ``bucket=K`` partition dir)."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    p = files[0]
+    if "://" in p or p.startswith("file:"):
+        p = unquote(urlparse(p).path)
+    d = os.path.dirname(p)
+    for _ in range(4):
+        meta = os.path.join(d, LSH_META)
+        if os.path.isfile(meta):
+            with open(meta) as fh:
+                return json.load(fh)
+        nxt = os.path.dirname(d)
+        if nxt == d:
+            break
+        d = nxt
+    return None
+
+
+def _validate_bucket_planes(
+    corpus: DataFrame, n_planes: int, override: int | None
+) -> None:
+    """A precomputed ``bucket`` column is only reusable if it was
+    produced by the SAME hyperplane family as the query side —
+    otherwise the equi-join silently returns wrong neighbors (ADVICE
+    r3).  Provenance comes from the ``_lsh_meta.json`` sidecar
+    (:func:`write_bucketed_embeddings` writes it) or an explicit
+    ``corpus_n_planes`` opt-in; unknown provenance raises."""
+    known = override
+    if known is None:
+        meta = bucketed_meta_of(corpus)
+        known = meta.get("n_planes") if meta else None
+    if known is None:
+        raise ValueError(
+            "corpus carries a precomputed 'bucket' column of unknown "
+            "provenance; pass corpus_n_planes=<n> to assert which "
+            "hyperplane family produced it (or drop the column to "
+            "recompute buckets on the fly)"
+        )
+    if int(known) != n_planes:
+        raise ValueError(
+            f"precomputed corpus buckets were built with "
+            f"n_planes={known} but the query side uses "
+            f"n_planes={n_planes}; reusing them would silently "
+            "return wrong neighbors"
+        )
 
 
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
@@ -253,6 +317,7 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_n_planes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH
     bucket.  If ``embeddings`` already carries a ``bucket`` column
@@ -264,6 +329,7 @@ def lsh_bucket_topk(
     dim = len(query)
     qbucket = query_bucket(query, n_planes)
     if "bucket" in embeddings.columns:
+        _validate_bucket_planes(embeddings, n_planes, corpus_n_planes)
         candidates = embeddings.filter(F.col("bucket") == qbucket)
     else:
         candidates = embeddings.withColumn(
@@ -293,6 +359,15 @@ def write_bucketed_embeddings(
         .partitionBy("bucket")
         .parquet(path)
     )
+    # Record the hyperplane family so readers can verify the bucket
+    # column matches their query-side bucketing (ADVICE r3).
+    from urllib.parse import unquote, urlparse
+
+    local = path
+    if "://" in local or local.startswith("file:"):
+        local = unquote(urlparse(local).path)
+    with open(os.path.join(local, LSH_META), "w") as fh:
+        json.dump({"n_planes": n_planes, "dim": dim}, fh)
 
 
 def _round_away(x: float, digits: int = 4) -> float:
@@ -388,8 +463,12 @@ def assert_partition_pruned(df: DataFrame, bucket: int) -> None:
     import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # (?!\d) boundary: 'bucket = 5' must not false-pass on a scan
+    # pruned to bucket 50 (ADVICE r3).
     if not re.search(
-        r"PartitionFilters: \[[^\]]*bucket#\d+L? = " + str(bucket), plan
+        r"PartitionFilters: \[[^\]]*bucket#\d+L? = "
+        + str(bucket) + r"(?!\d)",
+        plan,
     ):
         raise AssertionError(
             f"ANN scan not partition-pruned to bucket={bucket}:\n{plan}"

@@ -97,6 +97,12 @@ class ParquetTableStore:
         self.root = root
         self.n_buckets = n_buckets
         self.retain_history = retain_history
+        # Staged-but-uncommitted generation dirs (manifest-invisible).
+        # vacuum() must never sweep these: a commit() after the sweep
+        # would publish a manifest referencing deleted dirs (ADVICE
+        # r3: silent row loss).  Tracked per-store-instance, which is
+        # exactly the single-writer scope staging lives in.
+        self._staged_dirs: set = set()
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -157,7 +163,7 @@ class ParquetTableStore:
             return StructType.fromJson(json.loads(t["schema"]))
         return None
 
-    def _read_entry(self, t: dict) -> DataFrame:
+    def _read_entry(self, t: dict, table: str = "?") -> DataFrame:
         schema = self._schema_of(t)
         if t["layout"] == "bucketed":
             paths = [
@@ -166,7 +172,18 @@ class ParquetTableStore:
             ]
         else:
             paths = [os.path.join(self.root, d) for d in t["dirs"]]
-        paths = [p for p in paths if os.path.isdir(p)]
+        # A dir referenced by a manifest that is missing on disk is
+        # CORRUPTION (half-applied GC, manual deletion, vacuum
+        # misuse), never a normal state: raise loudly instead of
+        # silently returning partial data (ADVICE r3 — read_at()
+        # already raised for the same condition; read() now matches).
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"table '{table}' manifest references missing data "
+                f"dirs {missing[:3]} — store is corrupted (partial GC "
+                "or manual deletion); refusing a partial read"
+            )
         if not paths:
             return self.spark.createDataFrame([], schema)
         if t.get("partitioned"):
@@ -183,7 +200,7 @@ class ParquetTableStore:
         t = self._manifest()["tables"].get(name)
         if t is None:
             return None
-        return self._read_entry(t)
+        return self._read_entry(t, name)
 
     def _bucket_expr(self, keys: Sequence[str]):
         return F.pmod(
@@ -236,12 +253,28 @@ class ParquetTableStore:
         df: DataFrame,
         partition_by: Sequence[str] | None = None,
     ) -> None:
-        """Append a new data directory to a plain-layout table."""
+        """Append a new data directory to a plain-layout table.
+
+        Schema evolution matches upsert(): adding columns is fine
+        (union-by-name, null back-fill both directions), a type change
+        on an existing column raises loudly, and the manifest stores
+        the UNION of old and new schemas — a batch that drops a column
+        can no longer hide that column from earlier generations
+        (ADVICE r3)."""
         old = self._manifest()["tables"].get(name)
         if old and old["layout"] == "bucketed":
             raise ValueError(
                 f"table '{name}' is hash-bucketed; use upsert() "
                 "(keyed MERGE) instead of raw append"
+            )
+        old_schema = self._schema_of(old) if old else None
+        self._check_evolution(old_schema, df.schema, name)
+        merged_schema = df.schema
+        if old_schema is not None:
+            have = {f.name for f in df.schema.fields}
+            merged_schema = StructType(
+                list(df.schema.fields)
+                + [f for f in old_schema.fields if f.name not in have]
             )
         gen = uuid.uuid4().hex[:8]
         tdir = self._path(name)
@@ -260,7 +293,7 @@ class ParquetTableStore:
                 entry={
                     "layout": "plain",
                     "dirs": dirs,
-                    "schema": df.schema.json(),
+                    "schema": merged_schema.json(),
                     "partitioned": bool(partition_by)
                     or bool(old and old.get("partitioned")),
                 },
@@ -333,6 +366,7 @@ class ParquetTableStore:
         new = new.repartition(self.n_buckets, F.col(BUCKET_COL))
         new.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
         buckets = self._adopt_buckets(name, tmp, gen)
+        self._staged_dirs.update(buckets.values())
         old = self._manifest()["tables"].get(name)
         return StagedWrite(
             name=name,
@@ -382,7 +416,7 @@ class ParquetTableStore:
         if t["layout"] != "bucketed":
             # Legacy/plain table: one-time migration via full merge
             # into the bucketed layout.
-            existing = self._read_entry(t)
+            existing = self._read_entry(t, name)
             self._check_evolution(existing.schema, df.schema, name)
             keep = existing.join(
                 df.select(*keys).dropDuplicates(keys), keys, "left_anti"
@@ -429,6 +463,7 @@ class ParquetTableStore:
         )
         new.unpersist()
         written = self._adopt_buckets(name, tmp, gen)
+        self._staged_dirs.update(written.values())
         buckets = dict(old_buckets)
         replaced: List[str] = []
         for b in touched:
@@ -470,6 +505,7 @@ class ParquetTableStore:
         for s in staged:
             manifest["tables"][s.name] = s.entry
             replaced.extend(s.replaced_dirs)
+            self._staged_dirs.difference_update(s.staged_dirs)
         self._write_manifest(manifest)
         if not self.retain_history:
             for d in replaced:
@@ -583,7 +619,7 @@ class ParquetTableStore:
                 f"missing {missing[:3]} (construct the store with "
                 "retain_history=True to keep history)"
             )
-        return self._read_entry(t)
+        return self._read_entry(t, name)
 
     def drop(self, name: str) -> None:
         manifest = self._manifest()
@@ -597,9 +633,16 @@ class ParquetTableStore:
     def vacuum(self, keep_manifests: int = 3) -> List[str]:
         """Delete data directories not referenced by the CURRENT
         manifest (crash leftovers / failed GC) and old manifest files.
-        Safe any time under the single-writer invariant."""
+
+        Safe any time under the single-writer invariant FOR THIS
+        STORE INSTANCE: generation dirs staged by this instance but
+        not yet committed are tracked in ``_staged_dirs`` and excluded
+        from the sweep, so vacuum between ``stage_upsert`` and
+        ``commit`` cannot delete data a later commit will publish
+        (ADVICE r3).  A *different* process vacuuming while this one
+        stages is outside the single-writer contract."""
         manifest = self._manifest()
-        live = set()
+        live = set(self._staged_dirs)
         for t in manifest["tables"].values():
             live.update(self._live_dirs(t))
         removed = []

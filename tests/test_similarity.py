@@ -224,3 +224,39 @@ def test_knn_join_auto_dispatch_above_threshold(spark, emb):
     assert sorted(map(tuple, via_bucketed.collect())) == sorted(
         map(tuple, via_broadcast.collect())
     )
+
+
+def test_precomputed_bucket_provenance_validated(spark, emb, tmp_path):
+    """ADVICE r3: a precomputed 'bucket' column is reusable only when
+    its hyperplane family matches the query side — the sidecar meta
+    (write_bucketed_embeddings) or an explicit corpus_n_planes
+    asserts it; a mismatch or unknown provenance raises instead of
+    silently returning wrong neighbors."""
+    path = str(tmp_path / "pre8")
+    similarity.write_bucketed_embeddings(path, emb, dim=16, n_planes=8)
+    pre = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 2)
+
+    # mismatched plane count: raise, never wrong neighbors
+    with pytest.raises(ValueError, match="n_planes=8"):
+        similarity.knn_join_bucketed(
+            queries, pre, 3, n_planes=4, probe_hamming=None, dim=16
+        )
+    qv = emb.filter(F.col("vec_id") == 0).head()[1]
+    with pytest.raises(ValueError, match="n_planes=8"):
+        similarity.lsh_bucket_topk(pre, qv, 5, n_planes=4)
+
+    # unknown provenance (hand-made bucket column, no sidecar):
+    # require the explicit opt-in
+    handmade = emb.withColumn("bucket", F.lit(0))
+    with pytest.raises(ValueError, match="unknown provenance"):
+        similarity.knn_join_bucketed(
+            queries, handmade, 3, n_planes=4, probe_hamming=None, dim=16
+        )
+
+    # matching family (via sidecar) still works end-to-end
+    got = similarity.knn_join_bucketed(
+        queries, pre, 3, n_planes=8, probe_hamming=None, dim=16
+    ).collect()
+    exact = similarity.knn_join(queries, emb, 3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))

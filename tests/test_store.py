@@ -407,3 +407,63 @@ def test_store_merge_matches_dict_model_property(spark, tmp_path):
         assert got == model
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 hardening: corrupted-read detection, append evolution,
+# vacuum vs staged writes
+# ---------------------------------------------------------------------------
+
+
+def test_read_raises_on_missing_manifest_dir(spark, tmp_path):
+    """A data dir referenced by CURRENT but missing on disk is
+    corruption: read() must raise, never silently return partial
+    rows (previously only read_at() checked)."""
+    import os
+    import shutil
+
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    df = spark.range(0, 50).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        F.col("id").alias("val"),
+    )
+    store.upsert("tbl", df, ["key"])
+    t = store._manifest()["tables"]["tbl"]
+    victim = sorted(t["buckets"].values())[0]
+    shutil.rmtree(os.path.join(store.root, victim))
+    with pytest.raises(ValueError, match="missing data"):
+        store.read("tbl").collect()
+
+
+def test_append_schema_evolution_union_by_name(spark, tmp_path):
+    """append() keeps the UNION of old and new schemas in the
+    manifest (a batch dropping a column cannot hide it from earlier
+    generations) and raises loudly on a type change."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"))
+    a = spark.createDataFrame([("x", 1)], "key string, a long")
+    store.append("logs", a)
+    b = spark.createDataFrame([("y", 2.5)], "key string, b double")
+    store.append("logs", b)
+    got = {r.key: (r.a, r.b) for r in store.read("logs").collect()}
+    assert got == {"x": (1, None), "y": (None, 2.5)}
+    bad = spark.createDataFrame([("z", "s")], "key string, a string")
+    with pytest.raises(ValueError, match="evolution conflict"):
+        store.append("logs", bad)
+
+
+def test_vacuum_spares_staged_uncommitted_dirs(spark, tmp_path):
+    """vacuum() between stage_upsert() and commit() must not delete
+    the staged (manifest-invisible) generation dirs — the later
+    commit publishes them."""
+    store = ParquetTableStore(spark, str(tmp_path / "t"), n_buckets=4)
+    base = spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "key string, val long"
+    )
+    store.upsert("tbl", base, ["key"])
+    delta = spark.createDataFrame([("k1", 9)], "key string, val long")
+    staged = store.stage_upsert("tbl", delta, ["key"])
+    removed = store.vacuum()
+    assert not set(staged.staged_dirs) & set(removed)
+    store.commit([staged])
+    got = {r.key: r.val for r in store.read("tbl").collect()}
+    assert got == {"k1": 9, "k2": 2}
