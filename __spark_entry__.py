@@ -119,11 +119,14 @@ def q_kg_chunks(spark, sf_dir):
 
 
 def q_kg_entities(spark, sf_dir):
+    # n_sources is the merge reduce's EXACT pre-cap count (source_ids
+    # itself is a bounded sample at scale); min/max stay exact because
+    # the sample always retains the true extremes (merge._reduce_tall).
     return _nodes(spark, sf_dir).select(
         "entity_id",
         "entity_type",
         F.array_join("descriptions", SEP).alias("description"),
-        F.size("source_ids").cast("long").alias("n_sources"),
+        F.col("n_sources"),
         F.array_min("source_ids").alias("first_source"),
         F.array_max("source_ids").alias("last_source"),
     )
@@ -135,7 +138,7 @@ def q_kg_edges(spark, sf_dir):
         "dst",
         "weight",
         F.array_join("descriptions", SEP).alias("description"),
-        F.size("source_ids").cast("long").alias("n_sources"),
+        F.col("n_sources"),
     )
 
 
@@ -489,7 +492,7 @@ def q_twophase_entities(spark, sf_dir):
         "entity_id",
         "entity_type",
         F.array_join("descriptions", SEP).alias("description"),
-        F.size("source_ids").cast("long").alias("n_sources"),
+        F.col("n_sources"),
         F.array_min("source_ids").alias("first_source"),
         F.array_max("source_ids").alias("last_source"),
     )
@@ -607,7 +610,7 @@ def q_kg_summary(spark, sf_dir):
         "entity_id",
         F.array_join("descriptions", SEP).alias("description"),
         F.size("descriptions").cast("long").alias("n_descriptions"),
-        F.size("source_ids").cast("long").alias("n_sources"),
+        F.col("n_sources"),
     )
 
 

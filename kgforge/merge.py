@@ -53,6 +53,15 @@ from kgforge.schemas import SEP
 
 DEFAULT_MAX_SUMMARY_TOKENS = 1200  # default.go:44
 
+# Per-key state bounds for the merge reduce (VERDICT r3 item 1).
+# desc/kw cap: lossless w.r.t. the token-gated summary — the 1200-token
+# gate fires by ~300 entries and the summary keeps < 601, both far
+# below 1024 (see _reduce_tall docstring for the arithmetic).
+DEFAULT_MAX_LIST_VALUES = 1024
+# source_ids sample bound: the array becomes (ascending prefix + exact
+# max); n_sources / array_min / array_max stay exact at any scale.
+DEFAULT_MAX_SOURCES = 1024
+
 _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 
@@ -112,14 +121,74 @@ def _tall_legs(
     )
 
 
-def _reduce_tall(tall: DataFrame, key_cols: List[str]) -> DataFrame:
-    """The two-shuffle reduce over tall legs (see module docstring)."""
+def _reduce_tall(
+    tall: DataFrame,
+    key_cols: List[str],
+    max_list_values: Optional[int] = None,
+    max_sources: Optional[int] = None,
+) -> DataFrame:
+    """The two-shuffle reduce over tall legs (see module docstring),
+    with BOUNDED per-key state (VERDICT r3 item 1).
+
+    A mega-entity mentioned across 10^9 chunks with distinct
+    descriptions/chunk ids must not OOM its final reducer, so between
+    the pre-aggregation and the final ``groupBy(key)`` a window stage
+    (same ``(key, kind)`` partitioning, spillable sort — never an
+    in-memory array) caps what reaches the final collect:
+
+    - ``desc``/``kw`` legs: only the first ``max_list_values`` values
+      in append order survive.  Lossless for any consumer downstream
+      of the token-gated summary: the gate fires whenever the list
+      exceeds ~300 entries (each entry is >= 1 token and each
+      ``<SEP>`` join adds 3), and the summary keeps at most a
+      ~600-token prefix (< 601 entries) — both far below the cap, so
+      the capped prefix and the full list summarize identically.
+    - ``sid`` legs: the ascending prefix of ``max_sources`` ids PLUS
+      the maximum id survive, making ``source_ids`` a bounded sorted
+      sample whose array_min/array_max stay EXACT; the exact distinct
+      count is computed pre-cap by a window count and emitted as the
+      ``n_sources`` column.
+
+    Exactness riders computed BEFORE the cap filter so dropped rows
+    cannot lose information: additive ``weight`` and min
+    ``created_at`` ride per-kind window totals picked off each
+    kind's rank-1 row (always kept); ``n_sources`` is the pre-cap
+    window count, floored by any ``nsrc`` carry-over leg (an existing
+    node re-entering the merge after ITS sample was capped — the
+    merged count is then a monotone lower bound, exact below cap).
+    """
+    if max_list_values is None:
+        max_list_values = DEFAULT_MAX_LIST_VALUES
+    if max_sources is None:
+        max_sources = DEFAULT_MAX_SOURCES
     pre = tall.groupBy(*key_cols, "kind", "value").agg(
         F.min("ord").alias("ord"),
         F.count(F.when(F.col("kind") == "type", 1)).alias("cnt"),
         F.sum("w").alias("w"),
         F.min("c").alias("c"),
     )
+
+    wk = Window.partitionBy(*key_cols, "kind")
+    wk_ord = wk.orderBy("ord", "value")
+    wk_rev = wk.orderBy(F.desc("value"))
+    pre = pre.select(
+        "*",
+        F.row_number().over(wk_ord).alias("_rn"),
+        F.row_number().over(wk_rev).alias("_rn_last"),
+        F.count(F.lit(1)).over(wk).alias("_n_kind"),
+        F.sum("w").over(wk).alias("_w_kind"),
+        F.min("c").over(wk).alias("_c_kind"),
+    )
+    capped_list = F.col("kind").isin("desc", "kw")
+    keep = (
+        F.when(capped_list, F.col("_rn") <= max_list_values)
+        .when(
+            F.col("kind") == "sid",
+            (F.col("_rn") <= max_sources) | (F.col("_rn_last") == 1),
+        )
+        .otherwise(F.lit(True))
+    )
+    pre = pre.filter(keep)
 
     def ordered_list(kind: str):
         return F.array_distinct(
@@ -151,15 +220,35 @@ def _reduce_tall(tall: DataFrame, key_cols: List[str]) -> DataFrame:
         1,
     )["value"]
 
+    first_of_kind = F.col("_rn") == 1
     return pre.groupBy(*key_cols).agg(
         modal_type.alias("entity_type"),
         ordered_list("desc").alias("descriptions"),
         F.array_sort(
             F.collect_set(F.when(F.col("kind") == "sid", F.col("value")))
         ).alias("source_ids"),
+        F.greatest(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("kind") == "sid", F.col("_n_kind"))
+                ),
+                F.lit(0),
+            ),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("kind") == "nsrc",
+                        F.col("value").cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ),
+        ).cast("long").alias("n_sources"),
         ordered_list("kw").alias("keywords"),
-        F.sum("w").alias("weight"),
-        F.min("c").alias("created_at"),
+        F.sum(F.when(first_of_kind, F.col("_w_kind"))).alias("weight"),
+        F.min(F.when(first_of_kind, F.col("_c_kind"))).alias(
+            "created_at"
+        ),
     )
 
 
@@ -195,17 +284,30 @@ def aggregate_entities(
         # Existing node -> pseudo-mention legs (insert.go:518-527):
         # its type counts ONCE; each stored description keeps its array
         # position (priority 0 sorts before new); source_ids once each.
+        # The stored exact n_sources (if present) rides an 'nsrc' leg
+        # as a floor: once a node's source_ids sample was capped, the
+        # re-merged count stays a monotone lower bound instead of
+        # collapsing to the sample size.
+        n_src_col = (
+            F.col("n_sources")
+            if "n_sources" in existing_nodes.columns
+            else F.size("source_ids").cast("long")
+        )
         ex = existing_nodes.select(
             "entity_id",
             "entity_type",
             F.col("descriptions"),
             F.col("source_ids"),
+            n_src_col.alias("n_sources"),
             "created_at",
         )
         ex_type = _tall_legs(
             ex,
             ["entity_id"],
-            [("type", F.col("entity_type"), F.lit(""))],
+            [
+                ("type", F.col("entity_type"), F.lit("")),
+                ("nsrc", F.col("n_sources"), F.lit("")),
+            ],
             created_col=F.col("created_at"),
         )
         ex_desc = _tall_legs(
@@ -243,6 +345,7 @@ def aggregate_entities(
         "entity_type",
         "descriptions",
         "source_ids",
+        "n_sources",
         "created_at",
     )
 
@@ -301,10 +404,21 @@ def aggregate_relationships(
     )
     if existing_edges is not None:
         ex = existing_edges
+        ex_n_src = (
+            F.col("n_sources")
+            if "n_sources" in ex.columns
+            else F.size("source_ids").cast("long")
+        )
         ex_w = _tall_legs(
-            ex.select(*keys, "weight", "created_at"),
+            ex.select(
+                *keys, "weight", "created_at",
+                ex_n_src.alias("n_sources"),
+            ),
             keys,
-            [("w0", F.lit(None), F.lit(""))],
+            [
+                ("w0", F.lit(None), F.lit("")),
+                ("nsrc", F.col("n_sources"), F.lit("")),
+            ],
             weight_col=F.col("weight"),
             created_col=F.col("created_at"),
         )
@@ -366,6 +480,7 @@ def aggregate_relationships(
             "keywords"
         ),
         "source_ids",
+        "n_sources",
         "created_at",
     )
 
@@ -429,6 +544,7 @@ def placeholder_nodes(
             F.lit("UNKNOWN").alias("entity_type"),
             "descriptions",
             "source_ids",
+            F.size("source_ids").cast("long").alias("n_sources"),
             F.lit(now).alias("created_at"),
         )
     )

@@ -108,12 +108,17 @@ EXTRACTION_SCHEMA = StructType(
 # Materialized node table (GraphEntity, rag.go:181-187; Kuzu DDL
 # storage/kuzu.go:51-59).  descriptions/source_ids kept as sorted
 # arrays internally; `<SEP>` strings only at export.
+# Hot-key bound (VERDICT r3): source_ids is a bounded sorted SAMPLE
+# (ascending prefix + exact max — see merge.DEFAULT_MAX_SOURCES);
+# n_sources carries the EXACT distinct count, so count/min/max stay
+# exact even for a mega-entity whose full id list would OOM a reducer.
 NODES_SCHEMA = StructType(
     [
         StructField("entity_id", StringType(), False),
         StructField("entity_type", StringType(), False),
         StructField("descriptions", ArrayType(StringType()), False),
         StructField("source_ids", ArrayType(StringType()), False),
+        StructField("n_sources", LongType(), False),
         StructField("created_at", TimestampType(), True),
     ]
 )
@@ -130,6 +135,7 @@ EDGES_SCHEMA = StructType(
         StructField("descriptions", ArrayType(StringType()), False),
         StructField("keywords", ArrayType(StringType()), False),
         StructField("source_ids", ArrayType(StringType()), False),
+        StructField("n_sources", LongType(), False),
         StructField("created_at", TimestampType(), True),
     ]
 )

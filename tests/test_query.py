@@ -27,16 +27,16 @@ def graph(spark):
     nodes = spark.createDataFrame(
         [
             ("ENTITY1", "PERSON", ["Description of Entity1"],
-             ["doc-1-chunk-0"], NOW),
+             ["doc-1-chunk-0"], 1, NOW),
             ("ENTITY2", "ORGANIZATION", ["Description of Entity2"],
-             ["doc-1-chunk-0"], NOW),
+             ["doc-1-chunk-0"], 1, NOW),
         ],
         NODES_SCHEMA,
     )
     edges = spark.createDataFrame(
         [
             ("ENTITY1", "ENTITY2", 1.0, ["Entity1 related to Entity2"],
-             ["RELATED_TO", "RELATED", "TO"], ["doc-1-chunk-0"], NOW),
+             ["RELATED_TO", "RELATED", "TO"], ["doc-1-chunk-0"], 1, NOW),
         ],
         EDGES_SCHEMA,
     )
@@ -178,13 +178,14 @@ def test_global_context_pipe_in_entity_name(spark):
     (the reference's '-'-split bug class, insert.go:583)."""
     nodes = spark.createDataFrame(
         [
-            ("A|B", "PERSON", ["d1"], ["c-0"], NOW),
-            ("C", "PERSON", ["d2"], ["c-0"], NOW),
+            ("A|B", "PERSON", ["d1"], ["c-0"], 1, NOW),
+            ("C", "PERSON", ["d2"], ["c-0"], 1, NOW),
         ],
         NODES_SCHEMA,
     )
     edges = spark.createDataFrame(
-        [("A|B", "C", 1.0, ["A|B relates to C"], ["REL"], ["c-0"], NOW)],
+        [("A|B", "C", 1.0, ["A|B relates to C"], ["REL"], ["c-0"], 1,
+          NOW)],
         EDGES_SCHEMA,
     )
     chunks = spark.createDataFrame(
