@@ -434,6 +434,58 @@ def q_kg_chunks_go(spark, sf_dir):
     return chunks.select("chunk_id", "doc_id", "order_index", "content")
 
 
+def q_kg_chunks_long(spark, sf_dir):
+    """C1's SLIDING WINDOW graded (VERDICT r3 item 2): a synthesized
+    long-document corpus (20-112 deterministic pure-letter words per
+    doc) run through the real chunker UDF with a 32-token window and
+    8-token overlap, so most docs produce MULTIPLE overlapping chunks
+    (reference handler/default.go:53-96: encode -> stride
+    max-overlap -> decode -> TrimSpace -> recount).
+
+    Pure-letter space-separated words make every word exactly one
+    token of the vendored tokenizer, so DuckDB reproduces the
+    window/stride/trim/recount semantics with string_split + list
+    slicing: chunk i = words[i*24+1 .. min(i*24+32, n)], token_size =
+    its length, n_chunks = ceil(n / 24)."""
+    from kgforge.chunking import build_chunks
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    base = docs.select(
+        F.col("source"),
+        did.alias("id"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("m"),
+        (F.lit(20) + F.col("doc_id") % 93).cast("int").alias("nw"),
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), F.col("nw")),
+        lambda j: F.translate(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("m"), F.lit("#"), j.cast("string"))
+                ),
+                1,
+                8,
+            ),
+            "0123456789",
+            "ghijklmnop",
+        ),
+    )
+    repos = base.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("id"), F.lit(".txt")).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.array_join(words, " ").alias("content"),
+    )
+    chunks, _rejects = build_chunks(
+        repos, max_tokens=32, overlap_tokens=8
+    )
+    return chunks.select(
+        "chunk_id", "doc_id", "order_index", "content", "token_size"
+    )
+
+
 def q_kg_chunks_markdown(spark, sf_dir):
     """C4: the markdown chunker through the REAL fused dispatch
     (lang='markdown'): a synthesized two-section document per row —
@@ -735,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "kg_chunks_go": q_kg_chunks_go,
+        "kg_chunks_long": q_kg_chunks_long,
         "kg_chunks_semantic": q_kg_chunks_semantic,
         "kg_chunks_markdown": q_kg_chunks_markdown,
         "streaming_dedup": q_streaming_dedup,

@@ -410,6 +410,45 @@ SELECT doc_id || '-chunk-2', doc_id, CAST(2 AS INTEGER),
 FROM g
 """
 
+    # C1 sliding-window parity over the synthesized long-word corpus
+    # (__spark_entry__.q_kg_chunks_long): every word is one token, so
+    # the 32-token/8-overlap window (stride 24) of
+    # handler/default.go:53-96 becomes list slicing; the loop `while
+    # start < n: start += stride` emits ceil(n/24) chunks, the decode+
+    # TrimSpace of a window is the single-space word join, and the
+    # recount equals the slice length.
+    q["kg_chunks_long"] = """
+WITH d AS (
+  SELECT source || ':' || CAST(doc_id AS VARCHAR) || '.txt@HEAD'
+           AS doc_id,
+         md5(coalesce(text, '')) AS m,
+         CAST(20 + doc_id % 93 AS INTEGER) AS nw
+  FROM documents
+),
+w AS (
+  SELECT doc_id, nw,
+         list_transform(generate_series(1, nw),
+           j -> translate(
+                  substr(md5(m || '#' || CAST(j AS VARCHAR)), 1, 8),
+                  '0123456789', 'ghijklmnop')) AS ws
+  FROM d
+),
+c AS (
+  SELECT doc_id, nw, ws,
+         unnest(generate_series(
+           0, CAST(ceil(nw / 24.0) AS INTEGER) - 1)) AS i
+  FROM w
+)
+SELECT doc_id || '-chunk-' || CAST(i AS VARCHAR) AS chunk_id,
+       doc_id,
+       CAST(i AS INTEGER) AS order_index,
+       array_to_string(
+         list_slice(ws, i * 24 + 1, least(i * 24 + 32, nw)), ' ')
+         AS content,
+       CAST(least(i * 24 + 32, nw) - i * 24 AS INTEGER) AS token_size
+FROM c
+"""
+
     # C4 markdown-chunker parity (__spark_entry__.
     # q_kg_chunks_markdown): the synthesized two-section document is
     # far under every window, so HeaderHierarchy + min-chunk merge
