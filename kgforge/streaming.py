@@ -160,20 +160,33 @@ DEDUP_STATE_SCHEMA = "n_seen long"
 def _dedup_fn(key, pdf_iter, state):
     """applyInPandasWithState body: emit the FIRST row ever seen for a
     content sha; swallow every later duplicate (state survives
-    micro-batches AND restarts via the stream checkpoint)."""
-    import pandas as pd
+    micro-batches AND restarts via the stream checkpoint).
 
-    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    BOUNDED per-group memory (VERDICT r3 item 3): the group's rows
+    arrive as an ITERATOR of Arrow-sized pandas chunks and are
+    reduced chunk-by-chunk to a running (count, min-path row) —
+    never concatenated.  A pathological hot sha (empty files,
+    vendored licenses — millions of copies in one micro-batch) costs
+    one Arrow batch of memory, not the whole group.  (A plan-level
+    pre-aggregation before the stateful operator would be the other
+    fix, but Spark rejects chained stateful operators — a streaming
+    groupBy feeding applyInPandasWithState is unsupported — so the
+    reduction lives inside the operator.)"""
+    n_new = 0
+    best = None  # one-row DataFrame holding the min-path row so far
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        n_new += len(pdf)
+        cand = pdf.loc[[pdf["path"].idxmin()]]
+        if best is None or cand.iloc[0]["path"] < best.iloc[0]["path"]:
+            best = cand[
+                ["content_sha", "repo", "path", "lang", "content"]
+            ]
     (n_seen,) = state.get if state.exists else (0,)
-    out = None
-    if n_seen == 0 and len(rows) > 0:
-        first = rows.sort_values("path").iloc[[0]]
-        out = first[
-            ["content_sha", "repo", "path", "lang", "content"]
-        ]
-    state.update((n_seen + len(rows),))
-    if out is not None:
-        yield out
+    state.update((n_seen + n_new,))
+    if n_seen == 0 and best is not None:
+        yield best
 
 
 def streaming_exact_dedup(

@@ -264,3 +264,89 @@ def test_streaming_windowed_stats_watermark_drops_late_rows(spark, tmp_path):
     assert got[(0, "text")] == (2, 6), got
     # the late row neither re-emitted the window nor inflated it
     assert all(start == 0 or start >= 30 for start, _ in got)
+
+
+def test_dedup_fn_streams_chunks_without_concat(spark):
+    """VERDICT r3 item 3: the stateful dedup body reduces its group's
+    Arrow chunks incrementally — a hot sha arriving as many chunks is
+    folded to a running (count, min-path row), and the winner is the
+    global min path across chunks, not the first chunk's."""
+    import pandas as pd
+
+    from kgforge.streaming import _dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def chunks():
+        # 100 chunks x 1000 rows; global min path lives in chunk 57
+        for c in range(100):
+            paths = [f"p{c:03d}-{i:04d}.txt" for i in range(1000)]
+            if c == 57:
+                paths[500] = "a-the-global-min.txt"
+            yield pd.DataFrame(
+                {
+                    "content_sha": "s" * 64,
+                    "repo": "r",
+                    "path": paths,
+                    "lang": "text",
+                    "content": "shared",
+                }
+            )
+
+    state = FakeState()
+    out = list(_dedup_fn(("s" * 64,), chunks(), state))
+    assert len(out) == 1
+    assert out[0].iloc[0]["path"] == "a-the-global-min.txt"
+    assert state.get == (100_000,)
+
+    # later batch for the same sha: counted, never re-emitted
+    out2 = list(_dedup_fn(("s" * 64,), chunks(), state))
+    assert out2 == []
+    assert state.get == (200_000,)
+
+
+def test_streaming_dedup_hot_sha_many_arrow_chunks(spark, tmp_path):
+    """End-to-end: one content sha duplicated 20k times in a single
+    micro-batch, with tiny Arrow batches forcing many chunks per
+    group — one winner row (lexicographic min path), correct count."""
+    from kgforge.streaming import streaming_exact_dedup
+
+    corpus = str(tmp_path / "hot-in")
+    docs = spark.range(20_000).select(
+        F.lit("r").alias("repo"),
+        F.concat(
+            F.lit("f"),
+            F.lpad(F.col("id").cast("string"), 6, "0"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.lit("the same content everywhere").alias("content"),
+    )
+    docs.write.parquet(corpus)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "512")
+        streaming_exact_dedup(
+            spark, corpus, str(tmp_path / "hot-ckpt"),
+            str(tmp_path / "hot-out"),
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = spark.read.parquet(str(tmp_path / "hot-out")).collect()
+    assert len(got) == 1
+    assert got[0].path == "f000000.txt"
