@@ -494,6 +494,8 @@ def embedding_near_dup(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
+    on_drop=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the embedding-space
     member of the dedup family (exact sha / MinHash+LSH / SimHash /
@@ -504,7 +506,14 @@ def embedding_near_dup(
     quadratic blowup is bounded per bucket — never an all-pairs
     join), then the exact cosine verifies ``>= threshold``.  With the
     table pre-bucketed (:func:`write_bucketed_embeddings`) the join is
-    co-located on the partition key."""
+    co-located on the partition key.
+
+    Buckets larger than ``max_bucket`` are dropped from pair
+    generation (stop-bucket semantics, textops.DEFAULT_POSTING_CAP
+    rationale): a bucket holding a constant/near-constant embedding
+    cluster of 10^6 vectors would make the self-join quadratic in it.
+    Truncation is observable via ``on_drop`` (an Observation
+    riding the caller's action), never silent."""
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
     b = embeddings.select(
@@ -512,6 +521,10 @@ def embedding_near_dup(
         F.col(vec_col).alias("vec"),
         bucket_id_col(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        from kgforge.textops import _cap_posting_lists
+
+        b = _cap_posting_lists(b, ["bucket"], max_bucket, on_drop)
     a, c = b.alias("a"), b.alias("c")
     joined = a.join(
         c,

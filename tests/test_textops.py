@@ -184,3 +184,76 @@ def test_winnow_near_dup_detects_partial_copies(spark):
     # under k words have no k-grams at all, like every k-gram sketch
     fps = winnow_fingerprints(docs).groupBy("doc").count().collect()
     assert {r.doc for r in fps} == {1, 2, 3, 4}
+
+
+def _boilerplate_docs(spark, n=40):
+    """A corpus where EVERY doc shares the same boilerplate text —
+    every fingerprint / band bucket becomes one n-sized posting list."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "this software is provided as is without warranty of any "
+            "kind express or implied including the implied warranties"
+        ).alias("text"),
+    )
+
+
+def test_stop_fingerprint_cap_bounds_winnow_candidates(spark):
+    """VERDICT r3 item 4: fingerprints shared by more docs than the
+    cap are stop-fingerprints — dropped from candidate generation, so
+    a boilerplate-heavy corpus cannot go quadratic; the drop is
+    reported through the on_drop audit, never silent."""
+    docs = _boilerplate_docs(spark, 40)
+    # uncapped: all 40 docs pair up quadratically (the failure mode)
+    full = textops.winnow_near_dup(docs, 0.9, max_posting=None)
+    assert full.count() == 40 * 39 // 2
+
+    drops = []
+    capped = textops.winnow_near_dup(
+        docs, 0.9, max_posting=10,
+        on_drop=lambda n, m: drops.append((n, m)),
+    )
+    assert capped.count() == 0  # every posting list was boilerplate
+    (n_dropped, max_post), = drops
+    assert n_dropped > 0 and max_post == 40
+
+
+def test_stop_bucket_cap_bounds_lsh_candidates(spark):
+    docs = _boilerplate_docs(spark, 40)
+    sig = textops.minhash_signature_rows(textops.shingle_rows(docs), 16)
+    bands = textops.lsh_bands(sig, 4, 4)
+    assert (
+        textops.lsh_candidate_pairs(bands, max_posting=None).count()
+        == 40 * 39 // 2
+    )
+    drops = []
+    assert (
+        textops.lsh_candidate_pairs(
+            bands, max_posting=10,
+            on_drop=lambda n, m: drops.append((n, m)),
+        ).count()
+        == 0
+    )
+    assert drops == [(40 * 4, 40)]  # every (band, bucket) dropped
+
+
+def test_stop_bucket_cap_bounds_embedding_near_dup(spark):
+    from kgforge.similarity import embedding_near_dup
+
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0) for _ in range(8)]).alias("embedding"),
+    )
+    assert (
+        embedding_near_dup(emb, 0.9, 4, dim=8, max_bucket=None).count()
+        == 30 * 29 // 2
+    )
+    drops = []
+    assert (
+        embedding_near_dup(
+            emb, 0.9, 4, dim=8, max_bucket=10,
+            on_drop=lambda n, m: drops.append((n, m)),
+        ).count()
+        == 0
+    )
+    assert drops == [(30, 30)]
