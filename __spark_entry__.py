@@ -53,14 +53,33 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mention frame and the aggregated graph are persisted per
 # (session, sf_dir) so each of the dozen kg_* queries measures ITS
 # read plan, not a redundant re-ingest of the same corpus.
+#
+# Size-bounded LRU (VERDICT r3 item 7): a long-lived service cycling
+# sessions/corpora evicts the oldest entries and UNPERSISTS any
+# cached frames they held, instead of leaking executor storage.
 _MEMO: dict = {}
+_MEMO_MAX_ENTRIES = 48
+
+
+def _unpersist_quietly(value) -> None:
+    frames = value if isinstance(value, tuple) else (value,)
+    for df in frames:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 def _memo(spark: SparkSession, sf_dir: str, tag: str, build):
     key = (id(spark), sf_dir, tag)
-    if key not in _MEMO:
-        _MEMO[key] = build()
-    return _MEMO[key]
+    if key in _MEMO:
+        _MEMO[key] = _MEMO.pop(key)  # refresh LRU position
+        return _MEMO[key]
+    while len(_MEMO) >= _MEMO_MAX_ENTRIES:
+        _unpersist_quietly(_MEMO.pop(next(iter(_MEMO))))
+    value = build()
+    _MEMO[key] = value
+    return value
 
 
 def _mentions(spark: SparkSession, sf_dir: str):
@@ -622,7 +641,7 @@ def q_kg_summary(spark, sf_dir):
     from kgforge.extraction import HEURISTIC_MIN_WORD_LEN
 
     docs = _docs(spark, sf_dir)
-    words = textops._words(F.col("text"))
+    words = textops.words(F.col("text"))
     m = docs.select(
         F.col("doc_id").cast("string").alias("doc"),
         F.array_join(words, " ").alias("description"),

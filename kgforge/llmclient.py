@@ -31,7 +31,15 @@ from typing import List, Optional
 @dataclass
 class ChatConfig:
     """Connection settings — a plain picklable dataclass so it ships
-    into executor workers inside the UDF closure."""
+    into executor workers inside the UDF closure.
+
+    The sampling-parameter surface mirrors the reference's
+    ``llm.Parameters`` (llm/parameter.go:11-27, the OpenRouter
+    parameter set): every field is optional and only non-None values
+    enter the request body, so provider defaults apply otherwise.
+    Providers ignore what they don't support; the Anthropic client
+    maps ``stop`` to ``stop_sequences`` and passes only the subset
+    the Messages API documents."""
 
     base_url: str = "http://localhost:8000/v1"
     api_key: str = ""
@@ -41,6 +49,36 @@ class ChatConfig:
     timeout_seconds: float = 60.0
     system_prompt: Optional[str] = None
     extra_headers: dict = field(default_factory=dict)
+    # llm/parameter.go surface
+    top_p: Optional[float] = None
+    top_k: Optional[int] = None
+    frequency_penalty: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    repetition_penalty: Optional[float] = None
+    min_p: Optional[float] = None
+    top_a: Optional[float] = None
+    seed: Optional[int] = None
+    logit_bias: Optional[dict] = None
+    logprobs: Optional[bool] = None
+    top_logprobs: Optional[int] = None
+    stop: Optional[List[str]] = None
+    include_reasoning: Optional[bool] = None
+
+    def sampling_params(self) -> dict:
+        """The non-None sampling parameters as OpenAI-compatible
+        body fields (llm/parameter.go field-for-field)."""
+        out = {}
+        for key in (
+            "temperature", "max_tokens", "top_p", "top_k",
+            "frequency_penalty", "presence_penalty",
+            "repetition_penalty", "min_p", "top_a", "seed",
+            "logit_bias", "logprobs", "top_logprobs", "stop",
+            "include_reasoning",
+        ):
+            val = getattr(self, key)
+            if val is not None:
+                out[key] = val
+        return out
 
     @classmethod
     def from_env(cls) -> "ChatConfig":
@@ -81,10 +119,7 @@ class OpenAICompatClient:
             "model": cfg.model,
             "messages": self._messages(histories),
         }
-        if cfg.temperature is not None:
-            body["temperature"] = cfg.temperature
-        if cfg.max_tokens is not None:
-            body["max_tokens"] = cfg.max_tokens
+        body.update(cfg.sampling_params())
         url = cfg.base_url.rstrip("/") + "/chat/completions"
         headers = {"Content-Type": "application/json"}
         if cfg.api_key:
@@ -150,6 +185,15 @@ class AnthropicClient:
             body["system"] = cfg.system_prompt
         if cfg.temperature is not None:
             body["temperature"] = cfg.temperature
+        # The documented Messages API sampling subset; 'stop' maps to
+        # stop_sequences, the rest of llm/parameter.go has no
+        # Anthropic equivalent and is deliberately not sent.
+        if cfg.top_p is not None:
+            body["top_p"] = cfg.top_p
+        if cfg.top_k is not None:
+            body["top_k"] = cfg.top_k
+        if cfg.stop is not None:
+            body["stop_sequences"] = list(cfg.stop)
         url = cfg.base_url.rstrip("/") + "/messages"
         headers = {
             "Content-Type": "application/json",
@@ -204,6 +248,31 @@ def openrouter_client(
             api_key=api_key or os.environ.get("OPENROUTER_API_KEY", ""),
             model=model,
             extra_headers=extra,
+        )
+    )
+
+
+def ollama_client(
+    model: str = "llama3.2",
+    base_url: str = "",
+    **params,
+) -> OpenAICompatClient:
+    """Ollama variant (fills the reference's llm/ollama.go role): a
+    local Ollama server exposes the documented OpenAI-compatible
+    ``/v1/chat/completions`` surface, so the generic client applies
+    unchanged — no API key required, base URL defaults to the
+    standard local port (OLLAMA_BASE_URL overrides).  Extra keyword
+    arguments become ChatConfig sampling parameters (temperature,
+    top_p, seed, stop, ...)."""
+    return OpenAICompatClient(
+        ChatConfig(
+            base_url=base_url
+            or os.environ.get(
+                "OLLAMA_BASE_URL", "http://localhost:11434/v1"
+            ),
+            api_key="",
+            model=model,
+            **params,
         )
     )
 

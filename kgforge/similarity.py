@@ -93,7 +93,9 @@ def knn_join(
     probes — exact, no crossJoin) is the default; at or below it, a
     broadcast of the tiny query side scored against every corpus row
     is cheaper than bucketing both sides."""
-    n_queries = queries.count()
+    # bounded dispatch probe: scan stops after threshold+1 rows
+    # instead of counting the whole query side
+    n_queries = queries.limit(broadcast_threshold + 1).count()
     if n_queries > broadcast_threshold:
         dim = len(queries.select(qvec_col).head()[0])
         return knn_join_bucketed(

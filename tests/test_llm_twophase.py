@@ -459,3 +459,115 @@ def test_openrouter_client_attribution_headers():
         assert seen["auth"] == "Bearer or-key"
     finally:
         srv.shutdown()
+
+
+def test_sampling_parameter_surface_openai_and_anthropic():
+    """llm/parameter.go:11-27 surface on ChatConfig: non-None
+    parameters enter the OpenAI-compatible body field-for-field; the
+    Anthropic client sends the documented Messages subset (top_p,
+    top_k, stop -> stop_sequences) and nothing else."""
+    import http.server
+    import json as _json
+    import threading
+
+    from kgforge.llmclient import (
+        AnthropicClient,
+        ChatConfig,
+        OpenAICompatClient,
+    )
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            seen[self.path] = body
+            if self.path.endswith("/messages"):
+                resp = _json.dumps(
+                    {"content": [{"type": "text", "text": "ok"}]}
+                ).encode()
+            else:
+                resp = _json.dumps(
+                    {"choices": [{"message": {"content": "ok"}}]}
+                ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        cfg = ChatConfig(
+            base_url=base + "/v1",
+            model="m",
+            temperature=0.3,
+            top_p=0.9,
+            top_k=40,
+            frequency_penalty=0.1,
+            presence_penalty=0.2,
+            repetition_penalty=1.1,
+            min_p=0.05,
+            top_a=0.2,
+            seed=42,
+            logit_bias={"50256": -100},
+            logprobs=True,
+            top_logprobs=3,
+            stop=["\n\n", "END"],
+            include_reasoning=False,
+        )
+        assert OpenAICompatClient(cfg)(["hi"]) == "ok"
+        body = seen["/v1/chat/completions"]
+        assert body["temperature"] == 0.3 and body["top_p"] == 0.9
+        assert body["top_k"] == 40 and body["seed"] == 42
+        assert body["frequency_penalty"] == 0.1
+        assert body["presence_penalty"] == 0.2
+        assert body["repetition_penalty"] == 1.1
+        assert body["min_p"] == 0.05 and body["top_a"] == 0.2
+        assert body["logit_bias"] == {"50256": -100}
+        assert body["logprobs"] is True and body["top_logprobs"] == 3
+        assert body["stop"] == ["\n\n", "END"]
+        assert body["include_reasoning"] is False
+
+        # unset parameters never enter the body (provider defaults)
+        seen.clear()
+        assert OpenAICompatClient(
+            ChatConfig(base_url=base + "/v1", model="m",
+                       temperature=None)
+        )(["hi"]) == "ok"
+        assert set(seen["/v1/chat/completions"]) == {"model", "messages"}
+
+        seen.clear()
+        acfg = ChatConfig(
+            base_url=base + "/v1", api_key="k", model="claude-x",
+            max_tokens=64, top_p=0.8, top_k=7, stop=["END"],
+            seed=42, frequency_penalty=0.5,  # no Anthropic equivalent
+        )
+        assert AnthropicClient(acfg)(["hi"]) == "ok"
+        abody = seen["/v1/messages"]
+        assert abody["top_p"] == 0.8 and abody["top_k"] == 7
+        assert abody["stop_sequences"] == ["END"]
+        assert "seed" not in abody and "frequency_penalty" not in abody
+        assert "stop" not in abody
+    finally:
+        srv.shutdown()
+
+
+def test_ollama_client_preset():
+    """Ollama variant (reference llm/ollama.go role): the documented
+    OpenAI-compatible endpoint at the standard local port, no API
+    key, sampling params pass through."""
+    from kgforge.llmclient import ollama_client
+
+    c = ollama_client(model="qwen2.5", seed=7, temperature=0.1)
+    assert c.config.base_url == "http://localhost:11434/v1"
+    assert c.config.api_key == ""
+    assert c.config.model == "qwen2.5"
+    assert c.config.sampling_params()["seed"] == 7
+    assert c.config.sampling_params()["temperature"] == 0.1
