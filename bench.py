@@ -105,6 +105,7 @@ def main() -> None:
         "multimodal_feature_topk",
         "ngram_jaccard",
         "kg_chunks_go",
+        "kg_chunks_long",
         "kg_chunks_semantic",
         "kg_chunks_markdown",
         "streaming_dedup",

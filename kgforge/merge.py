@@ -170,11 +170,14 @@ def _reduce_tall(
 
     wk = Window.partitionBy(*key_cols, "kind")
     wk_ord = wk.orderBy("ord", "value")
-    wk_rev = wk.orderBy(F.desc("value"))
+    # The unordered stats windows ride the SAME exchange and the same
+    # (key, kind)-prefixed sort as the row_number — one shuffle + one
+    # sort total; values are distinct per (key, kind) after pre, so
+    # "value == per-kind max" identifies exactly the max-sid row.
     pre = pre.select(
         "*",
         F.row_number().over(wk_ord).alias("_rn"),
-        F.row_number().over(wk_rev).alias("_rn_last"),
+        F.max("value").over(wk).alias("_max_val"),
         F.count(F.lit(1)).over(wk).alias("_n_kind"),
         F.sum("w").over(wk).alias("_w_kind"),
         F.min("c").over(wk).alias("_c_kind"),
@@ -184,7 +187,8 @@ def _reduce_tall(
         F.when(capped_list, F.col("_rn") <= max_list_values)
         .when(
             F.col("kind") == "sid",
-            (F.col("_rn") <= max_sources) | (F.col("_rn_last") == 1),
+            (F.col("_rn") <= max_sources)
+            | (F.col("value") == F.col("_max_val")),
         )
         .otherwise(F.lit(True))
     )

@@ -526,7 +526,11 @@ def embedding_near_dup(
     if max_bucket is not None:
         from kgforge.textops import _cap_posting_lists
 
-        b = _cap_posting_lists(b, ["bucket"], max_bucket, on_drop)
+        # antijoin strategy: the 64-float vectors must not shuffle
+        # through a window just to count buckets
+        b = _cap_posting_lists(
+            b, ["bucket"], max_bucket, on_drop, strategy="antijoin"
+        )
     a, c = b.alias("a"), b.alias("c")
     joined = a.join(
         c,
