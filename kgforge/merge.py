@@ -168,6 +168,13 @@ def _reduce_tall(
         F.min("c").alias("c"),
     )
 
+    # ONE exchange for the window AND the final groupBy: the reduced
+    # pre rows are repartitioned on the key alone, which satisfies the
+    # (key, kind) window's clustering requirement (subset rule) and
+    # the final groupBy(key)'s — so the whole bounding stage plus the
+    # final reduce ride a single shuffle of already-combined rows
+    # (same exchange count as the unbounded round-3 plan).
+    pre = pre.repartition(*key_cols)
     wk = Window.partitionBy(*key_cols, "kind")
     wk_ord = wk.orderBy("ord", "value")
     # The unordered stats windows ride the SAME exchange and the same
