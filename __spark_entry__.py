@@ -602,6 +602,85 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_windowed_stats(spark, sf_dir):
+    """WATERMARKED event-time windowed aggregation in the graded
+    surface (the late-data streaming operator, previously pytest-only):
+    per-(10-minute window, lang) doc counts + byte volume in APPEND
+    mode, where a window emits exactly once — when the watermark
+    passes its end.
+
+    Determinism: three AvailableNow activations against the same
+    checkpoint.  Batch 1 carries the synthesized data events
+    (event_time = base + (doc_id % 37) minutes, so four windows per
+    lang); batches 2 and 3 each add one far-future sentinel row whose
+    sole job is advancing the watermark (emission for batch N uses
+    the watermark computed from batch N-1, so two pushes flush every
+    data window).  The sentinels' own windows stay open forever and
+    never emit; window bounds are returned as session-tz-invariant
+    strings.  At scale the same operator runs continuously with
+    bounded state (windows-in-flight x langs)."""
+    import tempfile
+
+    from kgforge.streaming import streaming_windowed_doc_stats
+
+    root = tempfile.mkdtemp(prefix="kgforge-streamwin-")
+    base = "2024-01-01 10:00:00"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+        F.lit("HEAD").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.repeat(F.lit("x"), (F.col("doc_id") % 7 + 1).cast("int")).alias(
+            "content"
+        ),
+        F.expr(
+            f"timestamp'{base}' + make_interval(0, 0, 0, 0, 0, "
+            "CAST(doc_id % 37 AS INT), 0)"
+        ).alias("event_time"),
+    )
+    rows.coalesce(1).write.mode("append").parquet(root + "/in")
+
+    def activate():
+        streaming_windowed_doc_stats(
+            spark, root + "/in", root + "/ckpt", root + "/out",
+            window_duration="10 minutes", watermark_delay="5 minutes",
+        )
+
+    activate()
+    for i, minutes in enumerate((1000, 2000)):
+        sentinel = spark.createDataFrame(
+            [("s", f"sentinel{i}.txt", "HEAD", "__sentinel", "x")],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        ).withColumn(
+            "event_time",
+            F.expr(
+                f"timestamp'{base}' + make_interval(0, 0, 0, 0, 0, "
+                f"{minutes}, 0)"
+            ),
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(root + "/in")
+        activate()
+    return (
+        spark.read.parquet(root + "/out")
+        .filter(F.col("lang") != "__sentinel")
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "lang",
+            "n_docs",
+            "n_bytes",
+        )
+    )
+
+
 def q_kg_chunks_semantic(spark, sf_dir):
     """C3: the semantic chunker (deterministic paragraph
     span-proposer, handler/semantic.go:63-214) over a synthesized
@@ -810,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks_semantic": q_kg_chunks_semantic,
         "kg_chunks_markdown": q_kg_chunks_markdown,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_windowed_stats": q_streaming_windowed_stats,
         "twophase_entities": q_twophase_entities,
         "kg_summary": q_kg_summary,
         "unembedded_chunks": q_unembedded_chunks,

@@ -109,6 +109,7 @@ def main() -> None:
         "kg_chunks_semantic",
         "kg_chunks_markdown",
         "streaming_dedup",
+        "streaming_windowed_stats",
         "kg_summary",
         "unembedded_chunks",
         "kg_local_entities",

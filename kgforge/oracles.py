@@ -492,6 +492,31 @@ SELECT sha256(content) AS content_sha, repo, path, lang, content
 FROM w WHERE rn = 1
 """
 
+    # Watermarked windowed-aggregation parity (__spark_entry__.
+    # q_streaming_windowed_stats): the three-activation protocol
+    # flushes EVERY data window (sentinel windows never emit), so the
+    # appended output equals the plain windowed groupBy of the
+    # synthesized events — window_start = base + (m // 10)*10 minutes.
+    q["streaming_windowed_stats"] = """
+WITH ev AS (
+  SELECT lang,
+         (CAST(doc_id % 37 AS INTEGER) // 10) * 10 AS ws,
+         CAST(doc_id % 7 + 1 AS BIGINT) AS nb
+  FROM documents
+)
+SELECT strftime(TIMESTAMP '2024-01-01 10:00:00'
+                + (ws * INTERVAL 1 MINUTE),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(TIMESTAMP '2024-01-01 10:00:00'
+                + ((ws + 10) * INTERVAL 1 MINUTE),
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes
+FROM ev
+GROUP BY lang, ws
+"""
+
     # C3 semantic-chunker parity over the synthesized paragraph corpus
     # (__spark_entry__.q_kg_chunks_semantic): the deterministic
     # paragraph proposer spans each blank-line paragraph, every span is
