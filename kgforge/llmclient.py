@@ -252,6 +252,86 @@ def openrouter_client(
     )
 
 
+class OllamaClient:
+    """``ChatFn``-shaped client for Ollama's NATIVE chat API
+    (llm/ollama.go:46-120 parity): POST ``{host}/api/chat`` with
+    ``{model, messages, stream: false, options: {...}}``; sampling
+    parameters ride the ``options`` map exactly as the reference
+    maps its ``llm.Parameters`` (num_ctx pinned to 32768 like
+    ollama.go:88-89, temperature/seed/stop/top_k/top_p/min_p when
+    set, ``think`` from include_reasoning); the reply text is
+    ``message.content``.  For the OpenAI-compatible surface of the
+    same server use :func:`ollama_client`."""
+
+    NUM_CTX = 32768  # ollama.go:88-89
+
+    def __init__(self, config: Optional[ChatConfig] = None):
+        self.config = config or ChatConfig(
+            base_url=os.environ.get(
+                "OLLAMA_BASE_URL", "http://localhost:11434"
+            ),
+            model="llama3.2",
+        )
+
+    def __call__(self, histories: List[str]) -> str:
+        cfg = self.config
+        msgs = [
+            {
+                "role": "user" if i % 2 == 0 else "assistant",
+                "content": text,
+            }
+            for i, text in enumerate(histories)
+        ]
+        options: dict = {"num_ctx": self.NUM_CTX}
+        for src, dst in (
+            ("temperature", "temperature"),
+            ("seed", "seed"),
+            ("stop", "stop"),
+            ("top_k", "top_k"),
+            ("top_p", "top_p"),
+            ("min_p", "min_p"),
+        ):
+            val = getattr(cfg, src)
+            if val is not None:
+                options[dst] = val
+        body: dict = {
+            "model": cfg.model,
+            "messages": msgs,
+            "stream": False,
+            "options": options,
+        }
+        if cfg.include_reasoning is not None:
+            body["think"] = cfg.include_reasoning
+        base = cfg.base_url.rstrip("/")
+        if base.endswith("/v1"):  # native API lives off the root
+            base = base[:-3]
+        url = base + "/api/chat"
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(body).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(
+                req, timeout=cfg.timeout_seconds
+            ) as resp:
+                payload = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            detail = ""
+            try:
+                detail = e.read().decode("utf-8", "replace")[:500]
+            except Exception:  # noqa: BLE001
+                pass
+            raise ChatError(f"HTTP {e.code} from {url}: {detail}") from e
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            raise ChatError(f"transport error to {url}: {e}") from e
+        try:
+            return payload["message"]["content"]
+        except (KeyError, TypeError) as e:
+            raise ChatError(f"malformed response from {url}") from e
+
+
 def ollama_client(
     model: str = "llama3.2",
     base_url: str = "",

@@ -571,3 +571,71 @@ def test_ollama_client_preset():
     assert c.config.model == "qwen2.5"
     assert c.config.sampling_params()["seed"] == 7
     assert c.config.sampling_params()["temperature"] == 0.1
+
+
+def test_ollama_native_chat_shape():
+    """llm/ollama.go:46-120 parity: native /api/chat body — stream
+    false, num_ctx pinned to 32768, sampling params in the options
+    map, think from include_reasoning, reply = message.content."""
+    import http.server
+    import json as _json
+    import threading
+
+    from kgforge.llmclient import ChatConfig, OllamaClient
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            seen["path"] = self.path
+            seen["body"] = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            resp = _json.dumps(
+                {
+                    "message": {"role": "assistant", "content": "local"},
+                    "done": True,
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = OllamaClient(ChatConfig(
+            base_url=f"http://127.0.0.1:{srv.server_address[1]}",
+            model="llama3.2",
+            temperature=0.2,
+            seed=9,
+            stop=["END"],
+            top_k=5,
+            top_p=0.7,
+            min_p=0.1,
+            include_reasoning=True,
+            # no Ollama options mapping -> must NOT leak into options
+            frequency_penalty=0.4,
+        ))
+        assert client(["hi", "earlier", "again"]) == "local"
+        assert seen["path"] == "/api/chat"
+        body = seen["body"]
+        assert body["stream"] is False
+        assert body["think"] is True
+        assert [m["role"] for m in body["messages"]] == [
+            "user", "assistant", "user",
+        ]
+        assert body["messages"][0]["content"] == "hi"
+        opts = body["options"]
+        assert opts["num_ctx"] == 32768
+        assert opts["temperature"] == 0.2 and opts["seed"] == 9
+        assert opts["stop"] == ["END"]
+        assert opts["top_k"] == 5 and opts["top_p"] == 0.7
+        assert opts["min_p"] == 0.1
+        assert "frequency_penalty" not in opts
+    finally:
+        srv.shutdown()
