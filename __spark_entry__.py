@@ -505,6 +505,43 @@ def q_kg_chunks_long(spark, sf_dir):
     )
 
 
+def q_kg_rejects(spark, sf_dir):
+    """Error ROUTING graded: invalid Go content must land in the
+    rejects output with its lineage sha — never fail the job (the
+    batch analog of the reference's error return, go.go:56-78 /
+    go_test.go:20-29).  Every odd doc gets non-Go content (no package
+    clause -> GoParseError inside the chunker UDF); even docs stay
+    valid, so the query proves the same batch SPLITS into chunks and
+    rejects rather than aborting."""
+    from kgforge.chunking import build_chunks
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    content = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("package p"), did, F.lit("\n\nconst docLen = "),
+            F.length(txt).cast("string"),
+        ),
+    ).otherwise(
+        # no package clause: the Go scanner rejects this
+        F.concat(F.lit("NOT GO CONTENT "), F.md5(txt))
+    )
+    repos = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(did, F.lit(".go")).alias("path"),
+        F.lit("HEAD").alias("commit"),
+        F.lit("go").alias("lang"),
+        content.alias("content"),
+    )
+    chunks, rejects = build_chunks(repos)
+    # the oracle pins rejects == exactly the invalid half (a valid doc
+    # wrongly rejected or an invalid one silently chunked both break
+    # the row-count/hash comparison)
+    return rejects.select("doc_id", "lang", "content_sha")
+
+
 def q_kg_chunks_markdown(spark, sf_dir):
     """C4: the markdown chunker through the REAL fused dispatch
     (lang='markdown'): a synthesized two-section document per row —
@@ -885,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "kg_chunks_go": q_kg_chunks_go,
+        "kg_rejects": q_kg_rejects,
         "kg_chunks_long": q_kg_chunks_long,
         "kg_chunks_semantic": q_kg_chunks_semantic,
         "kg_chunks_markdown": q_kg_chunks_markdown,

@@ -410,6 +410,20 @@ SELECT doc_id || '-chunk-2', doc_id, CAST(2 AS INTEGER),
 FROM g
 """
 
+    # Reject-routing parity (__spark_entry__.q_kg_rejects): the odd
+    # half of the corpus carries non-Go content (no package clause),
+    # which the chunker routes to the rejects output with its lineage
+    # sha; the even half chunks normally and must NOT appear here.
+    q["kg_rejects"] = """
+SELECT source || ':' || CAST(doc_id AS VARCHAR) || '.go@HEAD'
+         AS doc_id,
+       'go' AS lang,
+       sha256('NOT GO CONTENT ' || md5(coalesce(text, '')))
+         AS content_sha
+FROM documents
+WHERE doc_id % 2 = 1
+"""
+
     # C1 sliding-window parity over the synthesized long-word corpus
     # (__spark_entry__.q_kg_chunks_long): every word is one token, so
     # the 32-token/8-overlap window (stride 24) of
