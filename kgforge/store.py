@@ -67,7 +67,9 @@ class StagedWrite:
     references them); ``entry`` is the new manifest entry that
     :meth:`ParquetTableStore.commit` publishes, ``replaced_dirs`` are
     the old generation dirs to garbage-collect after the commit.
-    Stats feed the O(delta) assertions in tests."""
+    ``base_entry`` snapshots the table's manifest entry as of staging
+    — commit() re-validates it (optimistic concurrency, Iceberg
+    commit semantics).  Stats feed the O(delta) assertions in tests."""
 
     name: str
     entry: dict
@@ -75,6 +77,16 @@ class StagedWrite:
     staged_dirs: List[str] = field(default_factory=list)
     buckets_touched: int = 0
     n_buckets: int = 0
+    base_entry: Optional[dict] = None
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer published this table between stage and commit.
+    The staged write was computed against a stale base (its anti-join
+    read the old generation dirs), so publishing it would silently
+    drop the other writer's rows — retry the whole stage+commit
+    against the new state instead (Iceberg optimistic-concurrency
+    semantics)."""
 
 
 class ParquetTableStore:
@@ -244,6 +256,7 @@ class ParquetTableStore:
                 },
                 replaced_dirs=self._live_dirs(old),
                 staged_dirs=[dname],
+                base_entry=old,
             )
         self.commit([staged])
 
@@ -298,6 +311,7 @@ class ParquetTableStore:
                     or bool(old and old.get("partitioned")),
                 },
                 staged_dirs=[dname],
+                base_entry=old,
             )
         ])
 
@@ -381,6 +395,7 @@ class ParquetTableStore:
             staged_dirs=list(buckets.values()),
             buckets_touched=self.n_buckets,
             n_buckets=self.n_buckets,
+            base_entry=old,
         )
 
     # ------------------------------------------------------------------
@@ -436,7 +451,7 @@ class ParquetTableStore:
             new.unpersist()
             return StagedWrite(
                 name=name, entry=t, buckets_touched=0,
-                n_buckets=self.n_buckets,
+                n_buckets=self.n_buckets, base_entry=t,
             )
         old_buckets: Dict[str, str] = dict(t["buckets"])
         paths = [
@@ -491,6 +506,7 @@ class ParquetTableStore:
             staged_dirs=list(written.values()),
             buckets_touched=len(touched),
             n_buckets=self.n_buckets,
+            base_entry=t,
         )
 
     def commit(self, staged: Sequence[StagedWrite]) -> None:
@@ -501,6 +517,19 @@ class ParquetTableStore:
         pointer swap; a GC failure leaves orphans that no reader can
         ever discover (vacuum() reclaims them)."""
         manifest = self._manifest()
+        # Optimistic concurrency (Iceberg commit semantics): each
+        # staged write re-validates that the table entry it was
+        # computed against is STILL the published one.  A conflicting
+        # commit in the window would otherwise be silently overwritten
+        # with a merge that never saw its rows.
+        for s in staged:
+            current = manifest["tables"].get(s.name)
+            if current != s.base_entry:
+                raise CommitConflictError(
+                    f"table '{s.name}' was modified by another commit "
+                    "between stage and commit; re-stage against the "
+                    "current state (single-writer invariant violated)"
+                )
         replaced: List[str] = []
         for s in staged:
             manifest["tables"][s.name] = s.entry
@@ -576,6 +605,7 @@ class ParquetTableStore:
                 staged_dirs=staged_dirs,
                 buckets_touched=len(rewritten),
                 n_buckets=self.n_buckets,
+                base_entry=t,
             )
         ])
         return rewritten

@@ -467,3 +467,51 @@ def test_vacuum_spares_staged_uncommitted_dirs(spark, tmp_path):
     store.commit([staged])
     got = {r.key: r.val for r in store.read("tbl").collect()}
     assert got == {"k1": 9, "k2": 2}
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency (Iceberg commit semantics): a staged
+    write whose base table entry changed before commit() must raise
+    instead of silently dropping the other writer's rows; commits to
+    OTHER tables in the window do not conflict."""
+    from kgforge.store import CommitConflictError
+
+    root = str(tmp_path / "t")
+    a = ParquetTableStore(spark, root, n_buckets=4)
+    b = ParquetTableStore(spark, root, n_buckets=4)
+    base = spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "key string, val long"
+    )
+    a.upsert("tbl", base, ["key"])
+
+    staged = a.stage_upsert(
+        "tbl",
+        spark.createDataFrame([("k1", 10)], "key string, val long"),
+        ["key"],
+    )
+    # writer B sneaks in a commit to the SAME table
+    b.upsert(
+        "tbl",
+        spark.createDataFrame([("k3", 3)], "key string, val long"),
+        ["key"],
+    )
+    with pytest.raises(CommitConflictError, match="tbl"):
+        a.commit([staged])
+    # B's row survived; A's stale merge never published
+    got = {r.key: r.val for r in a.read("tbl").collect()}
+    assert got == {"k1": 1, "k2": 2, "k3": 3}
+
+    # a commit to a DIFFERENT table does not conflict
+    staged2 = a.stage_upsert(
+        "tbl",
+        spark.createDataFrame([("k1", 10)], "key string, val long"),
+        ["key"],
+    )
+    b.upsert(
+        "other",
+        spark.createDataFrame([("x", 0)], "key string, val long"),
+        ["key"],
+    )
+    a.commit([staged2])
+    got = {r.key: r.val for r in a.read("tbl").collect()}
+    assert got == {"k1": 10, "k2": 2, "k3": 3}
