@@ -304,3 +304,25 @@ def test_crash_mid_commit_then_rerun_converges_exactly(spark, tmp_path):
     # and a third run is a pure no-op
     m2 = run_insert(spark, docs(spark), store, cfg)
     assert m2["docs_processed"] == 0
+
+
+def test_lang_partitioned_corpus_scan_prunes(spark, tmp_path):
+    """north rule: the input corpus is an Iceberg-style table with
+    explicit (repo, lang) partitioning — a lang-restricted ingest must
+    PRUNE the scan to the lang's partition directories (PartitionFilters
+    on the file scan), not read-then-filter 100 TB."""
+    import re
+
+    from kgforge.chunking import build_chunks
+    from kgforge.corpus import synthesize_corpus
+
+    path = str(tmp_path / "repos")
+    synthesize_corpus(spark, n_files=200).write.partitionBy(
+        "lang"
+    ).parquet(path)
+    src = spark.read.parquet(path).filter(F.col("lang") == "go")
+    chunks, _rejects = build_chunks(src)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*lang", plan), plan
+    got = chunks.select("lang").distinct().collect()
+    assert [r.lang for r in got] == ["go"]
