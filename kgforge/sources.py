@@ -1,0 +1,133 @@
+"""Corpus source readers: every wire format -> one REPOS_SCHEMA table.
+
+The reference ingests plain strings handed to ``Insert``
+(/root/reference/rag.go:224-241) — the caller owns file I/O.  At
+100 TB the corpus arrives as TABLES in several wire formats; this
+module normalizes each to the BASELINE.json input_hint shape
+``(repo, path, commit, lang, content)`` so the whole pipeline is
+format-agnostic past this point:
+
+- ``parquet`` / ``json`` (JSONL) / ``csv``: columnar/line sources
+  read WITH an explicit schema — no inference pass over 100 TB, and
+  schema drift fails loudly instead of silently reordering columns.
+  Extra columns are projected away; missing required columns raise.
+- ``text``: raw source files read via Spark's ``text`` source in
+  wholetext mode, one row per file; repo/path are derived from the
+  file path (first directory component = repo — the conventional
+  checkout layout), lang from the extension via ``LANG_BY_EXT``.
+
+Scale notes: all readers are plain ``spark.read`` scans — splittable
+(parquet/json/csv) or file-per-task (wholetext), partition-pruned
+when the layout carries ``lang=``/``repo=`` directories, and free of
+driver-side listing loops beyond Spark's own file index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge.schemas import REPOS_SCHEMA
+
+# extension -> chunker lang (S3 dispatch; examples/multiple/main.go
+# routes .go to the Go handler and everything else to the default).
+LANG_BY_EXT = {
+    ".go": "go",
+    ".md": "markdown",
+    ".markdown": "markdown",
+}
+DEFAULT_LANG = "text"
+
+_REQUIRED = [f.name for f in REPOS_SCHEMA.fields]
+
+
+def _conform(df: DataFrame, source: str) -> DataFrame:
+    """Project an arbitrary-column frame onto REPOS_SCHEMA, raising
+    on missing required columns (never silently nulling them)."""
+    missing = [c for c in _REQUIRED if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{source} corpus is missing required columns {missing}; "
+            f"need {_REQUIRED}"
+        )
+    return df.select(
+        *[F.col(c).cast(dict(zip(_REQUIRED, [f.dataType for f in
+          REPOS_SCHEMA.fields]))[c]).alias(c) for c in _REQUIRED]
+    )
+
+
+def lang_from_path(path_col):
+    """Column expr: chunker lang from a file path's extension."""
+    ext = F.concat(F.lit("."), F.element_at(F.split(path_col, r"\."), -1))
+    expr = F.lit(DEFAULT_LANG)
+    for suffix, lang in LANG_BY_EXT.items():
+        expr = F.when(ext == suffix, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    commit: str = "HEAD",
+) -> DataFrame:
+    """Read a corpus in any supported wire format as REPOS_SCHEMA.
+
+    ``format``: ``parquet`` | ``json`` (JSONL) | ``csv`` (headered) |
+    ``text`` (raw source files, one row per file).
+    """
+    if format == "parquet":
+        return _conform(spark.read.parquet(path), "parquet")
+    if format == "json":
+        return _conform(
+            spark.read.schema(REPOS_SCHEMA).json(path), "json"
+        )
+    if format == "csv":
+        return _conform(
+            spark.read.schema(REPOS_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path),
+            "csv",
+        )
+    if format == "text":
+        return read_source_tree(spark, path, commit=commit)
+    raise ValueError(
+        f"unsupported corpus format {format!r} "
+        "(parquet | json | csv | text)"
+    )
+
+
+def read_source_tree(
+    spark: SparkSession, root: str, commit: str = "HEAD"
+) -> DataFrame:
+    """Raw checkout tree -> REPOS_SCHEMA: one row per file
+    (wholetext), repo = first path component under ``root``, lang
+    from the extension.  The Spark ``text`` source parallelizes one
+    file per task — the right granularity for source files (each is
+    tiny; splitting within a file would split chunks)."""
+    base = os.path.abspath(root)
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(root, wholetext=True)
+        .select(
+            F.input_file_name().alias("_uri"),
+            F.col("value").alias("content"),
+        )
+    )
+    # file URI -> path relative to root (handles file:/ prefixes)
+    rel = F.regexp_replace(
+        F.regexp_replace(F.col("_uri"), "^file:/*", "/"),
+        "^" + base.rstrip("/") + "/",
+        "",
+    )
+    return df.select(
+        F.split(rel, "/")[0].alias("repo"),
+        rel.alias("path"),
+        F.lit(commit).alias("commit"),
+        lang_from_path(rel).alias("lang"),
+        F.col("content"),
+    )

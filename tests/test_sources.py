@@ -1,0 +1,75 @@
+"""Multi-format corpus sources -> REPOS_SCHEMA (kgforge/sources.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.schemas import REPOS_SCHEMA
+from kgforge.sources import read_corpus, read_source_tree
+
+ROWS = [
+    ("repoA", "main.go", "HEAD", "go",
+     "package main\n\nconst answer = 42"),
+    ("repoB", "notes.md", "HEAD", "markdown", "# Title\n\nBody text."),
+    ("repoB", "readme.txt", "HEAD", "text", "plain words here"),
+]
+
+
+def _expect(df):
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in REPOS_SCHEMA.fields
+    ]
+    got = {(r.repo, r.path): (r.lang, r.content) for r in df.collect()}
+    assert got[("repoA", "main.go")][0] == "go"
+    assert got[("repoB", "notes.md")][1] == "# Title\n\nBody text."
+    assert len(got) == 3
+
+
+def test_read_corpus_parquet_json_csv(spark, tmp_path):
+    src = spark.createDataFrame(ROWS, REPOS_SCHEMA).withColumn(
+        "extra", F.lit("ignored")
+    )
+    p = str(tmp_path / "corpus")
+    src.write.parquet(p + ".parquet")
+    src.write.json(p + ".json")
+    src.drop("extra").write.option("header", "true").option(
+        "escape", '"'
+    ).csv(p + ".csv")
+
+    _expect(read_corpus(spark, p + ".parquet", "parquet"))
+    _expect(read_corpus(spark, p + ".json", "json"))
+    _expect(read_corpus(spark, p + ".csv", "csv"))
+
+    # missing required column raises loudly, never nulls
+    bad = str(tmp_path / "bad.parquet")
+    src.drop("content").write.parquet(bad)
+    with pytest.raises(ValueError, match="content"):
+        read_corpus(spark, bad, "parquet")
+    with pytest.raises(ValueError, match="unsupported"):
+        read_corpus(spark, p, "orc")
+
+
+def test_read_source_tree_wholetext(spark, tmp_path):
+    root = tmp_path / "checkout"
+    (root / "repoA").mkdir(parents=True)
+    (root / "repoB" / "docs").mkdir(parents=True)
+    (root / "repoA" / "main.go").write_text(
+        "package main\n\nconst x = 1"
+    )
+    (root / "repoB" / "docs" / "guide.md").write_text("# G\n\ntext")
+    (root / "repoB" / "notes.txt").write_text("hello world")
+
+    df = read_source_tree(spark, str(root))
+    got = {r.path: (r.repo, r.lang) for r in df.collect()}
+    assert got["repoA/main.go"] == ("repoA", "go")
+    assert got["repoB/docs/guide.md"] == ("repoB", "markdown")
+    assert got["repoB/notes.txt"] == ("repoB", "text")
+
+    # the tree feeds the real pipeline unchanged
+    from kgforge.chunking import build_chunks
+
+    chunks, rejects = build_chunks(df)
+    assert rejects.count() == 0
+    langs = {r.lang for r in chunks.select("lang").distinct().collect()}
+    assert langs == {"go", "markdown", "text"}
