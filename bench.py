@@ -91,6 +91,8 @@ def main() -> None:
         "language_id",
         "token_stats",
         "fingerprint",
+        "redact_secrets",
+        "corpus_prep",
         "bm25_search",
         "winnow_near_dup",
         "minhash_signatures",

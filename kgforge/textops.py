@@ -463,6 +463,99 @@ def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Secret / PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Pattern table shared verbatim with the DuckDB oracle: (name, regex,
+# replacement).  Kept to constructs with identical semantics in Java
+# regex and RE2 (no backrefs, no lookaround) so both engines agree.
+SECRET_PATTERNS = [
+    ("aws_access_key", "AKIA[0-9A-Z]{16}", "[REDACTED:aws_access_key]"),
+    (
+        "private_key",
+        "-----BEGIN [A-Z ]*PRIVATE KEY-----",
+        "[REDACTED:private_key]",
+    ),
+    (
+        "email",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "[REDACTED:email]",
+    ),
+    (
+        "bearer_token",
+        "Bearer [A-Za-z0-9_.=-]{16,}",
+        "[REDACTED:bearer_token]",
+    ),
+]
+
+
+def redact_secrets(
+    docs: DataFrame, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Secret/PII scrubbing — the standard pretraining-data pass
+    (credentials, keys, emails must not reach a training set).  One
+    scan, chained JVM ``regexp_replace`` (whole-stage codegen, no
+    Python); per-pattern match counts ride the same projection so the
+    pipeline can report what it scrubbed without a second pass."""
+    clean = F.col(text_col)
+    counts = []
+    for name, pattern, replacement in SECRET_PATTERNS:
+        counts.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+            ).cast("int").alias(f"n_{name}"),
+        )
+        clean = F.regexp_replace(clean, pattern, replacement)
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        clean.alias("clean_text"),
+        *counts,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed data-prep funnel
+# ---------------------------------------------------------------------------
+
+
+def corpus_prep(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The training-data PREP FUNNEL as one composed plan: exact
+    dedup (keep each content's min-id representative) -> language
+    gate -> quality gate.  Declarative composition of the individual
+    operators, so Catalyst fuses the scans: one pass computes sha,
+    language ratio and quality features; the only shuffle is the
+    dedup hash-aggregate.  This is the shape a 100 TB prep job runs
+    before chunking/tokenization."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("text")
+    )
+    reps = (
+        exact_dedup(base, "doc", "text")
+        .select(F.col("representative").alias("doc"), "n_docs")
+    )
+    kept = base.join(reps, "doc")
+    quality = doc_quality(kept, "doc", "text").select(
+        "doc", "quality_score"
+    )
+    langs = language_id(kept, "doc", "text").select("doc", "lang_pred")
+    return (
+        kept.join(quality, "doc")
+        .join(langs, "doc")
+        .filter(
+            (F.col("lang_pred") == lang)
+            & (F.col("quality_score") >= min_quality)
+        )
+        .select("doc", "n_docs", "quality_score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BM25 keyword search
 # ---------------------------------------------------------------------------
 
