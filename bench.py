@@ -110,6 +110,7 @@ def main() -> None:
         "kg_chunks_long",
         "kg_chunks_semantic",
         "kg_chunks_markdown",
+        "kg_rejects",
         "streaming_dedup",
         "streaming_windowed_stats",
         "kg_summary",
