@@ -349,3 +349,129 @@ def test_capped_source_count_survives_re_merge(spark):
     finally:
         mrg.DEFAULT_MAX_SOURCES = orig_sources
         mrg.DEFAULT_MAX_LIST_VALUES = orig_list
+
+
+def test_merge_matches_reference_model_property(spark):
+    """Model-based property for the (round-4 restructured) merge
+    reduce: random mention multisets, with and without existing
+    state, must match a pure-Python model of the reference semantics
+    (insert.go:499-566) — append-unique ordered descriptions, modal
+    type with lexicographic tie-break, sorted source ids with exact
+    n_sources, existing rows as priority-0 legs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(["A", "B"])
+    types = st.sampled_from(["PERSON", "ORGANIZATION", "EVENT"])
+    descs = st.sampled_from(["d1", "d2", "d3", "d4"])
+    chunks = st.sampled_from(["c0", "c1", "c2", "c3"])
+    orders = st.integers(0, 9)
+    mention = st.tuples(names, types, descs, chunks, orders)
+    batches = st.tuples(
+        st.lists(mention, min_size=1, max_size=8),
+        st.lists(mention, min_size=0, max_size=6),
+    )
+
+    def model(mentions, existing=None):
+        """existing: dict name -> model row (prior output)."""
+        out = {}
+        by_name = {}
+        for name, typ, d, c, o in mentions:
+            by_name.setdefault(name, []).append((typ, d, c, o))
+        keys = set(by_name) | set(existing or {})
+        for name in keys:
+            ms = by_name.get(name, [])
+            ex = (existing or {}).get(name)
+            # descriptions: min ord per value, sort by (ord, value)
+            ordmap = {}
+            if ex:
+                for i, d in enumerate(ex["descriptions"]):
+                    ordmap.setdefault(d, f"0|{i:09d}")
+            for _t, d, _c, o in ms:
+                key = f"1|{o}"
+                if d not in ordmap or key < ordmap[d]:
+                    ordmap[d] = key
+            descs_sorted = [
+                v for _, v in sorted(
+                    (ordv, d) for d, ordv in ordmap.items()
+                )
+            ]
+            # modal type: row counts; existing type counts once
+            counts = {}
+            if ex:
+                counts[ex["entity_type"]] = (
+                    counts.get(ex["entity_type"], 0) + 1
+                )
+            for t, _d, _c, _o in ms:
+                counts[t] = counts.get(t, 0) + 1
+            modal = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0][0]
+            sids = {c for _t, _d, c, _o in ms} | set(
+                ex["source_ids"] if ex else []
+            )
+            out[name] = {
+                "entity_type": modal,
+                "descriptions": descs_sorted,
+                "source_ids": sorted(sids),
+                "n_sources": len(sids),
+            }
+        return out
+
+    schema = (
+        "entity_name string, entity_type string, description string, "
+        "chunk_id string, order_key string"
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(data=batches)
+    def run(data):
+        first, second = data
+        rows1 = [(n, t, d, c, str(o)) for n, t, d, c, o in first]
+        df1 = spark.createDataFrame(rows1, schema)
+        got1 = {
+            r.entity_id: r for r in aggregate_entities(df1).collect()
+        }
+        want1 = model(
+            [(n, t, d, c, str(o)) for n, t, d, c, o in first]
+        )
+        assert set(got1) == set(want1)
+        for name, w in want1.items():
+            g = got1[name]
+            assert g.entity_type == w["entity_type"], name
+            assert list(g.descriptions) == w["descriptions"], name
+            assert sorted(g.source_ids) == w["source_ids"], name
+            assert g.n_sources == w["n_sources"], name
+
+        if second:
+            existing = {
+                k: {
+                    "entity_type": v.entity_type,
+                    "descriptions": list(v.descriptions),
+                    "source_ids": list(v.source_ids),
+                }
+                for k, v in got1.items()
+            }
+            rows2 = [(n, t, d, c, str(o)) for n, t, d, c, o in second]
+            df2 = spark.createDataFrame(rows2, schema)
+            got2 = {
+                r.entity_id: r
+                for r in aggregate_entities(
+                    df2, existing_nodes=aggregate_entities(df1)
+                ).collect()
+            }
+            want2 = model(
+                [(n, t, d, c, str(o)) for n, t, d, c, o in second],
+                existing,
+            )
+            assert set(got2) == set(want2)
+            for name, w in want2.items():
+                g = got2[name]
+                assert list(g.descriptions) == w["descriptions"], name
+                assert sorted(g.source_ids) == w["source_ids"], name
+                assert g.n_sources == w["n_sources"], name
+
+    run()
