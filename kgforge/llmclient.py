@@ -282,6 +282,12 @@ class OllamaClient:
             }
             for i, text in enumerate(histories)
         ]
+        if cfg.system_prompt:
+            # same config surface as the sibling clients: the system
+            # prompt rides a native system-role message
+            msgs.insert(
+                0, {"role": "system", "content": cfg.system_prompt}
+            )
         options: dict = {"num_ctx": self.NUM_CTX}
         for src, dst in (
             ("temperature", "temperature"),
@@ -290,6 +296,10 @@ class OllamaClient:
             ("top_k", "top_k"),
             ("top_p", "top_p"),
             ("min_p", "min_p"),
+            # Ollama's output-length option (beyond ollama.go's map,
+            # which never forwards MaxTokens — honoring our own
+            # config surface wins over strict parity here)
+            ("max_tokens", "num_predict"),
         ):
             val = getattr(cfg, src)
             if val is not None:

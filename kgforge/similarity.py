@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -218,34 +217,38 @@ def knn_join_bucketed(
     )
 
 
-# Sidecar written next to a pre-bucketed table recording WHICH
-# hyperplane family produced its bucket column.  The leading
-# underscore keeps Spark's parquet reader from treating it as data.
-LSH_META = "_lsh_meta.json"
+# Sidecar directory written next to a pre-bucketed table recording
+# WHICH hyperplane family produced its bucket column.  The leading
+# underscore keeps Spark's parquet reader from treating it as data;
+# it is written and read THROUGH Spark's Hadoop IO so the provenance
+# travels with the table on any filesystem (s3://, hdfs://, file:/),
+# not only the driver's local disk.
+LSH_META = "_lsh_meta"
 
 
 def bucketed_meta_of(df: DataFrame) -> dict | None:
-    """Recover the ``_lsh_meta.json`` sidecar of the table a
-    DataFrame was read from, if any (walk up from an input file past
-    the ``bucket=K`` partition dir)."""
+    """Recover the ``_lsh_meta`` sidecar of the table a DataFrame was
+    read from, if any (walk up from an input-file URI past the
+    ``bucket=K`` partition dir, reading candidates via Spark so
+    remote filesystems work)."""
     files = df.inputFiles()
     if not files:
         return None
-    from urllib.parse import unquote, urlparse
-
-    p = files[0]
-    if "://" in p or p.startswith("file:"):
-        p = unquote(urlparse(p).path)
-    d = os.path.dirname(p)
+    d = files[0].rsplit("/", 1)[0]
     for _ in range(4):
-        meta = os.path.join(d, LSH_META)
-        if os.path.isfile(meta):
-            with open(meta) as fh:
-                return json.load(fh)
-        nxt = os.path.dirname(d)
-        if nxt == d:
+        try:
+            rows = (
+                df.sparkSession.read.text(d + "/" + LSH_META)
+                .limit(1)
+                .collect()
+            )
+            if rows:
+                return json.loads(rows[0].value)
+        except Exception:  # noqa: BLE001 — path absent at this level
+            pass
+        if "/" not in d:
             break
-        d = nxt
+        d = d.rsplit("/", 1)[0]
     return None
 
 
@@ -362,14 +365,17 @@ def write_bucketed_embeddings(
         .parquet(path)
     )
     # Record the hyperplane family so readers can verify the bucket
-    # column matches their query-side bucketing (ADVICE r3).
-    from urllib.parse import unquote, urlparse
-
-    local = path
-    if "://" in local or local.startswith("file:"):
-        local = unquote(urlparse(local).path)
-    with open(os.path.join(local, LSH_META), "w") as fh:
-        json.dump({"n_planes": n_planes, "dim": dim}, fh)
+    # column matches their query-side bucketing (ADVICE r3).  Written
+    # through Spark so it lands next to the data on ANY filesystem.
+    meta = json.dumps({"n_planes": n_planes, "dim": dim})
+    (
+        embeddings.sparkSession.createDataFrame(
+            [(meta,)], "value string"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path.rstrip("/") + "/" + LSH_META)
+    )
 
 
 def _round_away(x: float, digits: int = 4) -> float:
@@ -510,12 +516,17 @@ def embedding_near_dup(
     table pre-bucketed (:func:`write_bucketed_embeddings`) the join is
     co-located on the partition key.
 
-    Buckets larger than ``max_bucket`` are dropped from pair
-    generation (stop-bucket semantics, textops.DEFAULT_POSTING_CAP
-    rationale): a bucket holding a constant/near-constant embedding
-    cluster of 10^6 vectors would make the self-join quadratic in it.
-    Truncation is observable via ``on_drop`` (an Observation
-    riding the caller's action), never silent."""
+    Buckets larger than ``max_bucket`` switch from quadratic
+    all-pairs to a linear STAR against the bucket's min-id
+    representative (textops.lsh_candidate_pairs rationale): a
+    near-constant embedding cluster of 10^6 vectors still dedups —
+    every member is scored exactly against the representative — at
+    O(n) instead of O(n^2) join cost, cross-links recovered
+    transitively.  The bucket sizes come from a keys-only aggregate
+    (the wide vectors never shuffle for the count; over-cap buckets
+    are rare, so AQE broadcasts the hot set); ``on_drop`` reports
+    (rows in over-cap buckets, largest bucket) via an explicit audit
+    aggregate."""
     if dim is None:
         dim = len(embeddings.select(vec_col).head()[0])
     b = embeddings.select(
@@ -523,15 +534,47 @@ def embedding_near_dup(
         F.col(vec_col).alias("vec"),
         bucket_id_col(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    star = None
     if max_bucket is not None:
-        from kgforge.textops import _cap_posting_lists
-
-        # antijoin strategy: the 64-float vectors must not shuffle
-        # through a window just to count buckets
-        b = _cap_posting_lists(
-            b, ["bucket"], max_bucket, on_drop, strategy="antijoin"
+        sizes = b.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("id").alias("_rep"),
         )
-    a, c = b.alias("a"), b.alias("c")
+        if on_drop is not None:
+            row = sizes.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("_n") > max_bucket, F.col("_n")
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("dropped_rows"),
+                F.coalesce(F.max("_n"), F.lit(0)).alias("max_posting"),
+            ).collect()[0]
+            on_drop(int(row["dropped_rows"]), int(row["max_posting"]))
+        hot = sizes.filter(F.col("_n") > max_bucket)
+        small = b.join(
+            hot.select("bucket"), ["bucket"], "left_anti"
+        )
+        members = b.join(
+            hot.select("bucket", "_rep"), ["bucket"]
+        ).filter(F.col("id") != F.col("_rep"))
+        reps = b.select(
+            F.col("id").alias("_rep"), F.col("vec").alias("_rep_vec")
+        )
+        star = members.join(reps, ["_rep"]).select(
+            F.col("_rep").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.round(
+                _dot(F.col("_rep_vec"), F.col("vec"))
+                / (_norm(F.col("_rep_vec")) * _norm(F.col("vec"))),
+                4,
+            ).alias("score"),
+        )
+    else:
+        small = b
+    a, c = small.alias("a"), small.alias("c")
     joined = a.join(
         c,
         (F.col("a.bucket") == F.col("c.bucket"))
@@ -541,14 +584,14 @@ def embedding_near_dup(
     score = F.round(
         dot / (_norm(F.col("a.vec")) * _norm(F.col("c.vec"))), 4
     )
-    return (
-        joined.select(
-            F.col("a.id").alias("id_a"),
-            F.col("c.id").alias("id_b"),
-            score.alias("score"),
-        )
-        .filter(F.col("score") >= threshold)
+    pairs = joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("c.id").alias("id_b"),
+        score.alias("score"),
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.filter(F.col("score") >= threshold)
 
 
 def make_cosine_matmul_udf(query_matrix: np.ndarray):

@@ -9,8 +9,11 @@ format-agnostic past this point:
 
 - ``parquet`` / ``json`` (JSONL) / ``csv``: columnar/line sources
   read WITH an explicit schema — no inference pass over 100 TB, and
-  schema drift fails loudly instead of silently reordering columns.
-  Extra columns are projected away; missing required columns raise.
+  schema drift fails loudly instead of silently reordering or
+  nulling columns (CSV headers are validated against the schema via
+  ``enforceSchema=false``; JSONL key drift is caught by a one-record
+  driver-side probe, since an explicit-schema JSON read would
+  otherwise materialize missing fields as silent NULLs).
 - ``text``: raw source files read via Spark's ``text`` source in
   wholetext mode, one row per file; repo/path are derived from the
   file path (first directory component = repo — the conventional
@@ -24,6 +27,7 @@ driver-side listing loops beyond Spark's own file index.
 
 from __future__ import annotations
 
+import json as _json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +45,7 @@ LANG_BY_EXT = {
 DEFAULT_LANG = "text"
 
 _REQUIRED = [f.name for f in REPOS_SCHEMA.fields]
+_TYPES = {f.name: f.dataType for f in REPOS_SCHEMA.fields}
 
 
 def _conform(df: DataFrame, source: str) -> DataFrame:
@@ -53,8 +58,7 @@ def _conform(df: DataFrame, source: str) -> DataFrame:
             f"need {_REQUIRED}"
         )
     return df.select(
-        *[F.col(c).cast(dict(zip(_REQUIRED, [f.dataType for f in
-          REPOS_SCHEMA.fields]))[c]).alias(c) for c in _REQUIRED]
+        *[F.col(c).cast(_TYPES[c]).alias(c) for c in _REQUIRED]
     )
 
 
@@ -65,6 +69,30 @@ def lang_from_path(path_col):
     for suffix, lang in LANG_BY_EXT.items():
         expr = F.when(ext == suffix, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def _check_jsonl_keys(spark: SparkSession, path: str) -> None:
+    """A JSONL read with an explicit schema silently materializes
+    absent fields as NULL columns, so column drift would pass
+    _conform unseen.  Probe ONE record's keys driver-side (uniform
+    JSONL — the normal corpus case) and raise on missing required
+    keys; an empty corpus is fine."""
+    head = spark.read.text(path).limit(1).collect()
+    if not head:
+        return
+    try:
+        record = _json.loads(head[0].value)
+    except ValueError as e:
+        raise ValueError(
+            f"json corpus at {path} is not JSONL: first record is "
+            f"not valid JSON ({e})"
+        ) from e
+    missing = [c for c in _REQUIRED if c not in record]
+    if missing:
+        raise ValueError(
+            f"json corpus is missing required keys {missing} "
+            f"(first record has {sorted(record)}); need {_REQUIRED}"
+        )
 
 
 def read_corpus(
@@ -81,13 +109,18 @@ def read_corpus(
     if format == "parquet":
         return _conform(spark.read.parquet(path), "parquet")
     if format == "json":
+        _check_jsonl_keys(spark, path)
         return _conform(
             spark.read.schema(REPOS_SCHEMA).json(path), "json"
         )
     if format == "csv":
+        # enforceSchema=false validates the header NAMES against the
+        # schema — the default (true) maps columns positionally and
+        # would silently swap repo/path on a reordered file.
         return _conform(
             spark.read.schema(REPOS_SCHEMA)
             .option("header", "true")
+            .option("enforceSchema", "false")
             .option("multiLine", "true")
             .option("escape", '"')
             .csv(path),
@@ -108,7 +141,14 @@ def read_source_tree(
     (wholetext), repo = first path component under ``root``, lang
     from the extension.  The Spark ``text`` source parallelizes one
     file per task — the right granularity for source files (each is
-    tiny; splitting within a file would split chunks)."""
+    tiny; splitting within a file would split chunks).
+
+    Path derivation is string arithmetic, never a regex built from
+    ``root`` (a root containing regex metachars like ``c++`` or
+    ``(v2)`` must not change matching), and the ``input_file_name``
+    URI is percent-decoded first (spaces arrive as ``%20``); literal
+    ``+`` is protected before decoding since url_decode treats it as
+    a space."""
     base = os.path.abspath(root)
     df = (
         spark.read.option("recursiveFileLookup", "true")
@@ -118,12 +158,17 @@ def read_source_tree(
             F.col("value").alias("content"),
         )
     )
-    # file URI -> path relative to root (handles file:/ prefixes)
-    rel = F.regexp_replace(
-        F.regexp_replace(F.col("_uri"), "^file:/*", "/"),
-        "^" + base.rstrip("/") + "/",
-        "",
+    decoded = F.url_decode(
+        F.regexp_replace(F.col("_uri"), r"\+", "%2B")
     )
+    # strip the scheme ("file:///x" / "file:/x" -> "/x"); the pattern
+    # is a fixed literal, not derived from user input
+    local = F.regexp_replace(decoded, "^file:/*", "/")
+    prefix = base.rstrip("/") + "/"
+    rel = F.when(
+        local.startswith(prefix),
+        F.substring(local, len(prefix) + 1, 2**31 - 1),
+    ).otherwise(local)
     return df.select(
         F.split(rel, "/")[0].alias("repo"),
         rel.alias("path"),

@@ -517,19 +517,38 @@ class ParquetTableStore:
         pointer swap; a GC failure leaves orphans that no reader can
         ever discover (vacuum() reclaims them)."""
         manifest = self._manifest()
+        # Two StagedWrites for one table in a single commit would have
+        # the later silently overwrite the earlier's merge (both were
+        # computed against the same base): reject outright.
+        names = [s.name for s in staged]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"multiple staged writes for table(s) {dupes} in one "
+                "commit; merge them into one stage_upsert instead"
+            )
         # Optimistic concurrency (Iceberg commit semantics): each
         # staged write re-validates that the table entry it was
         # computed against is STILL the published one.  A conflicting
         # commit in the window would otherwise be silently overwritten
-        # with a merge that never saw its rows.
-        for s in staged:
-            current = manifest["tables"].get(s.name)
-            if current != s.base_entry:
-                raise CommitConflictError(
-                    f"table '{s.name}' was modified by another commit "
-                    "between stage and commit; re-stage against the "
-                    "current state (single-writer invariant violated)"
-                )
+        # with a merge that never saw its rows.  The conflicted
+        # batch's staged dirs are RELEASED from the vacuum-exclusion
+        # set before raising: the whole batch is dead (the caller
+        # must re-stage), so its invisible generation dirs are
+        # orphans for vacuum() to reclaim.
+        conflicted = [
+            s for s in staged
+            if manifest["tables"].get(s.name) != s.base_entry
+        ]
+        if conflicted:
+            for s in staged:
+                self._staged_dirs.difference_update(s.staged_dirs)
+            raise CommitConflictError(
+                f"table '{conflicted[0].name}' was modified by "
+                "another commit between stage and commit; re-stage "
+                "against the current state (single-writer invariant "
+                "violated)"
+            )
         replaced: List[str] = []
         for s in staged:
             manifest["tables"][s.name] = s.entry

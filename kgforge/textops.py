@@ -44,15 +44,19 @@ BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 # Stop-fingerprint cap (VERDICT r3 item 4): a fingerprint / LSH bucket
 # shared by 10^6 documents makes its posting-list self-join quadratic
-# in that list while carrying no dedup signal (it is boilerplate by
-# definition).  Posting lists above the cap are DROPPED from candidate
-# generation; the default sits far above any test-corpus cardinality,
-# and truncation is observable, never silent — pass
+# in that list.  Above the cap:
+# - candidate GENERATORS (lsh_candidate_pairs, embedding_near_dup)
+#   switch to linear STAR candidates against the list's min-id
+#   representative — a giant near-dup cluster still dedups, at O(n);
+# - the winnowing SKETCH removes the fingerprint outright (standard
+#   MOSS stop-fingerprint practice: boilerplate carries no signal and
+#   near-dups share plenty of non-boilerplate fingerprints).
+# The default sits far above any test-corpus cardinality; pass
 # ``on_drop=log_posting_drops`` (or any callable) to surface
-# (dropped_rows, max_posting) counts.  The audit runs as one explicit
-# tiny aggregate job rather than an observe() rider because AQE's
-# empty-relation propagation prunes CollectMetrics nodes exactly in
-# the all-dropped case the audit exists to catch.
+# (rows-in-over-cap-lists, largest list) counts.  The audit runs as
+# one explicit tiny aggregate job rather than an observe() rider
+# because AQE's empty-relation propagation prunes CollectMetrics
+# nodes exactly in the all-dropped case the audit exists to catch.
 DEFAULT_POSTING_CAP = 10_000
 
 
@@ -280,27 +284,61 @@ def lsh_candidate_pairs(
     uniform hash buckets, so the quadratic blowup is bounded per
     bucket.  Returns distinct (doc_a < doc_b) candidate pairs.
 
-    Buckets whose posting list exceeds ``max_posting`` are dropped
-    before the join (stop-fingerprint semantics — a bucket shared by
-    everything is boilerplate, not near-dup signal; see
-    DEFAULT_POSTING_CAP for observability)."""
-    bands_df = _cap_posting_lists(
-        bands_df, ["band", "bucket"], max_posting, on_drop
-    )
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    Buckets whose posting list exceeds ``max_posting`` switch from
+    quadratic all-pairs to a linear STAR: every member pairs with the
+    bucket's min-doc representative only.  A giant near-duplicate
+    cluster (the case where candidate volume explodes) still
+    surfaces — each member reaches the representative and downstream
+    exact verification (ngram_jaccard_pairs) decides — while the
+    within-bucket join cost drops from O(n^2) to O(n).  Cross-member
+    links inside such a cluster are recovered transitively
+    (rep-as-hub), the standard production dedup shape.  ``on_drop``
+    reports (rows in over-cap lists, largest list) via one explicit
+    audit aggregate."""
+    if max_posting is not None:
+        w = Window.partitionBy("band", "bucket")
+        ann = bands_df.withColumn(
+            "_n", F.count(F.lit(1)).over(w)
+        ).withColumn("_rep", F.min("doc").over(w))
+        if on_drop is not None:
+            row = ann.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_n") > max_posting, F.lit(1))
+                    ),
+                    F.lit(0),
+                ).alias("dropped_rows"),
+                F.coalesce(F.max("_n"), F.lit(0)).alias("max_posting"),
+            ).collect()[0]
+            on_drop(int(row["dropped_rows"]), int(row["max_posting"]))
+        small = ann.filter(F.col("_n") <= max_posting).drop(
+            "_n", "_rep"
         )
-        .select(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        star = (
+            ann.filter(
+                (F.col("_n") > max_posting)
+                & (F.col("doc") != F.col("_rep"))
+            )
+            .select(
+                F.col("_rep").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+            )
         )
-        .distinct()
+    else:
+        small, star = bands_df, None
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -379,6 +417,44 @@ def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _punct_ratio_col(text_col):
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(text_col, r"[^\w\s]", "")
+    )
+    return F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+
+
+def quality_score_col(text_col):
+    """Composite quality score in [0,1] as a pure column expression —
+    shared by :func:`doc_quality` and :func:`corpus_prep` (and
+    mirrored in the oracle SQL)."""
+    ws = words(text_col)
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(ws), stop_arr))
+    pr = _punct_ratio_col(text_col)
+    return F.round(
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.least(pr * 5, F.lit(1.0))) * 0.3
+        + F.least(n_stop / F.lit(5.0), F.lit(1.0)) * 0.2,
+        4,
+    )
+
+
+def lang_pred_col(text_col):
+    """Stopword-ratio language prediction as a pure column expr —
+    shared by :func:`language_id` and :func:`corpus_prep`."""
+    ws = words(text_col)
+    n_words = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(
+        F.filter(ws, lambda w: F.array_contains(stop_arr, w))
+    )
+    ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    return F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und"))
+
+
 def doc_quality(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """Quality features: length, word stats, punctuation and stopword
     ratios, plus a composite quality score in [0,1]."""
@@ -396,7 +472,7 @@ def doc_quality(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
             words, F.lit(0), lambda acc, w: acc + F.length(w)
         ) / n_words,
     ).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    punct_ratio = _punct_ratio_col(F.col(text_col))
     score = (
         F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.5
         + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
@@ -527,26 +603,35 @@ def corpus_prep(
 ) -> DataFrame:
     """The training-data PREP FUNNEL as one composed plan: exact
     dedup (keep each content's min-id representative) -> language
-    gate -> quality gate.  Declarative composition of the individual
-    operators, so Catalyst fuses the scans: one pass computes sha,
-    language ratio and quality features; the only shuffle is the
-    dedup hash-aggregate.  This is the shape a 100 TB prep job runs
+    gate -> quality gate.  ONE shuffle total: the dedup aggregate
+    carries the representative row itself (``min(struct(doc,
+    text))``), so no join back to the corpus is needed, and the
+    language/quality gates are pure column expressions over the
+    representatives (``quality_score_col`` / ``lang_pred_col`` —
+    shared with the standalone operators, so no self-joins of
+    recomputed lineage).  This is the shape a 100 TB prep job runs
     before chunking/tokenization."""
     base = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("text")
     )
-    reps = (
-        exact_dedup(base, "doc", "text")
-        .select(F.col("representative").alias("doc"), "n_docs")
+    clusters = base.groupBy(
+        F.sha2(F.col("text"), 256).alias("content_sha")
+    ).agg(
+        F.min(F.struct("doc", "text")).alias("rep"),
+        F.count("*").alias("n_docs"),
     )
-    kept = base.join(reps, "doc")
-    quality = doc_quality(kept, "doc", "text").select(
-        "doc", "quality_score"
+    kept = clusters.select(
+        F.col("rep.doc").alias("doc"),
+        F.col("rep.text").alias("text"),
+        "n_docs",
     )
-    langs = language_id(kept, "doc", "text").select("doc", "lang_pred")
     return (
-        kept.join(quality, "doc")
-        .join(langs, "doc")
+        kept.select(
+            "doc",
+            "n_docs",
+            quality_score_col(F.col("text")).alias("quality_score"),
+            lang_pred_col(F.col("text")).alias("lang_pred"),
+        )
         .filter(
             (F.col("lang_pred") == lang)
             & (F.col("quality_score") >= min_quality)

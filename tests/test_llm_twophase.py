@@ -611,6 +611,8 @@ def test_ollama_native_chat_shape():
         client = OllamaClient(ChatConfig(
             base_url=f"http://127.0.0.1:{srv.server_address[1]}",
             model="llama3.2",
+            system_prompt="extract entities",
+            max_tokens=256,
             temperature=0.2,
             seed=9,
             stop=["END"],
@@ -627,11 +629,13 @@ def test_ollama_native_chat_shape():
         assert body["stream"] is False
         assert body["think"] is True
         assert [m["role"] for m in body["messages"]] == [
-            "user", "assistant", "user",
+            "system", "user", "assistant", "user",
         ]
-        assert body["messages"][0]["content"] == "hi"
+        assert body["messages"][0]["content"] == "extract entities"
+        assert body["messages"][1]["content"] == "hi"
         opts = body["options"]
         assert opts["num_ctx"] == 32768
+        assert opts["num_predict"] == 256
         assert opts["temperature"] == 0.2 and opts["seed"] == 9
         assert opts["stop"] == ["END"]
         assert opts["top_k"] == 5 and opts["top_p"] == 0.7

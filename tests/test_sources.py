@@ -73,3 +73,48 @@ def test_read_source_tree_wholetext(spark, tmp_path):
     assert rejects.count() == 0
     langs = {r.lang for r in chunks.select("lang").distinct().collect()}
     assert langs == {"go", "markdown", "text"}
+
+
+def test_csv_header_reorder_and_json_key_drift_fail_loudly(spark, tmp_path):
+    """Review findings r4: a reordered headered CSV must not silently
+    swap columns (enforceSchema=false validates names), and a JSONL
+    corpus with drifted keys must raise instead of ingesting NULLs."""
+    import json as _json
+
+    # CSV with columns in a DIFFERENT order than REPOS_SCHEMA
+    p = tmp_path / "re.csv"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "path,repo,commit,lang,content\n"
+        "main.go,repoA,HEAD,go,package main\n"
+    )
+    with pytest.raises(Exception):
+        read_corpus(spark, str(p), "csv").collect()
+
+    # JSONL using 'body' instead of 'content'
+    j = tmp_path / "drift.json"
+    j.mkdir()
+    (j / "part.json").write_text(
+        _json.dumps(
+            {"repo": "r", "path": "a.txt", "commit": "HEAD",
+             "lang": "text", "body": "hello"}
+        ) + "\n"
+    )
+    with pytest.raises(ValueError, match="content"):
+        read_corpus(spark, str(j), "json")
+
+
+def test_source_tree_handles_special_chars_in_root_and_files(
+    spark, tmp_path
+):
+    """Roots with regex metachars and file names with spaces must not
+    break repo/path derivation (string-arithmetic prefix strip +
+    percent-decoded URIs, never a root-derived regex)."""
+    root = tmp_path / "corpus (v2)" / "c++"
+    (root / "repoA").mkdir(parents=True)
+    (root / "repoA" / "my file.txt").write_text("hello world")
+    (root / "repoA" / "a+b.go").write_text("package main")
+    df = read_source_tree(spark, str(root))
+    got = {r.path: (r.repo, r.lang, r.content) for r in df.collect()}
+    assert got["repoA/my file.txt"] == ("repoA", "text", "hello world")
+    assert got["repoA/a+b.go"] == ("repoA", "go", "package main")

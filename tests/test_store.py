@@ -515,3 +515,34 @@ def test_commit_conflict_detection(spark, tmp_path):
     a.commit([staged2])
     got = {r.key: r.val for r in a.read("tbl").collect()}
     assert got == {"k1": 10, "k2": 2, "k3": 3}
+
+
+def test_conflicted_batch_releases_staged_dirs_for_vacuum(spark, tmp_path):
+    """Review finding r4: a CommitConflictError kills the whole
+    staged batch — its invisible generation dirs must leave the
+    vacuum-exclusion set so a retrying long-lived writer does not
+    leak disk forever; and two staged writes for one table in a
+    single commit are rejected outright."""
+    from kgforge.store import CommitConflictError
+
+    root = str(tmp_path / "t")
+    a = ParquetTableStore(spark, root, n_buckets=4)
+    b = ParquetTableStore(spark, root, n_buckets=4)
+    a.upsert("tbl", spark.createDataFrame(
+        [("k1", 1)], "key string, val long"), ["key"])
+
+    staged = a.stage_upsert("tbl", spark.createDataFrame(
+        [("k1", 9)], "key string, val long"), ["key"])
+    b.upsert("tbl", spark.createDataFrame(
+        [("k2", 2)], "key string, val long"), ["key"])
+    with pytest.raises(CommitConflictError):
+        a.commit([staged])
+    removed = a.vacuum()
+    assert set(staged.staged_dirs) <= set(removed)  # reclaimed
+
+    s1 = a.stage_upsert("tbl", spark.createDataFrame(
+        [("k3", 3)], "key string, val long"), ["key"])
+    s2 = a.stage_upsert("tbl", spark.createDataFrame(
+        [("k4", 4)], "key string, val long"), ["key"])
+    with pytest.raises(ValueError, match="multiple staged writes"):
+        a.commit([s1, s2])

@@ -200,9 +200,11 @@ def _boilerplate_docs(spark, n=40):
 
 def test_stop_fingerprint_cap_bounds_winnow_candidates(spark):
     """VERDICT r3 item 4: fingerprints shared by more docs than the
-    cap are stop-fingerprints — dropped from candidate generation, so
-    a boilerplate-heavy corpus cannot go quadratic; the drop is
-    reported through the on_drop audit, never silent."""
+    cap are stop-fingerprints — removed from the SKETCH (standard
+    MOSS practice: boilerplate fingerprints carry no signal, and real
+    near-dups share plenty of non-boilerplate ones), so a
+    boilerplate-heavy corpus cannot go quadratic; the removal is
+    reported through the on_drop audit."""
     docs = _boilerplate_docs(spark, 40)
     # uncapped: all 40 docs pair up quadratically (the failure mode)
     full = textops.winnow_near_dup(docs, 0.9, max_posting=None)
@@ -219,6 +221,9 @@ def test_stop_fingerprint_cap_bounds_winnow_candidates(spark):
 
 
 def test_stop_bucket_cap_bounds_lsh_candidates(spark):
+    """Over-cap buckets switch to linear STAR candidates: every
+    member pairs with the min-doc representative (no recall collapse
+    for a giant near-dup cluster), never quadratic all-pairs."""
     docs = _boilerplate_docs(spark, 40)
     sig = textops.minhash_signature_rows(textops.shingle_rows(docs), 16)
     bands = textops.lsh_bands(sig, 4, 4)
@@ -227,14 +232,16 @@ def test_stop_bucket_cap_bounds_lsh_candidates(spark):
         == 40 * 39 // 2
     )
     drops = []
-    assert (
-        textops.lsh_candidate_pairs(
-            bands, max_posting=10,
-            on_drop=lambda n, m: drops.append((n, m)),
-        ).count()
-        == 0
-    )
-    assert drops == [(40 * 4, 40)]  # every (band, bucket) dropped
+    got = textops.lsh_candidate_pairs(
+        bands, max_posting=10,
+        on_drop=lambda n, m: drops.append((n, m)),
+    ).collect()
+    # linear star: (rep=0, member) for the 39 other docs, deduped
+    # across the 4 identical band buckets
+    assert sorted((r.doc_a, r.doc_b) for r in got) == [
+        (0, b) for b in range(1, 40)
+    ]
+    assert drops == [(40 * 4, 40)]  # rows in over-cap posting lists
 
 
 def test_stop_bucket_cap_bounds_embedding_near_dup(spark):
@@ -249,13 +256,15 @@ def test_stop_bucket_cap_bounds_embedding_near_dup(spark):
         == 30 * 29 // 2
     )
     drops = []
-    assert (
-        embedding_near_dup(
-            emb, 0.9, 4, dim=8, max_bucket=10,
-            on_drop=lambda n, m: drops.append((n, m)),
-        ).count()
-        == 0
-    )
+    got = embedding_near_dup(
+        emb, 0.9, 4, dim=8, max_bucket=10,
+        on_drop=lambda n, m: drops.append((n, m)),
+    ).collect()
+    # star: every member scored exactly against the representative
+    assert sorted((r.id_a, r.id_b) for r in got) == [
+        (0, b) for b in range(1, 30)
+    ]
+    assert all(r.score == 1.0 for r in got)
     assert drops == [(30, 30)]
 
 
