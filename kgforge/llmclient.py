@@ -36,10 +36,15 @@ class ChatConfig:
     The sampling-parameter surface mirrors the reference's
     ``llm.Parameters`` (llm/parameter.go:11-27, the OpenRouter
     parameter set): every field is optional and only non-None values
-    enter the request body, so provider defaults apply otherwise.
-    Providers ignore what they don't support; the Anthropic client
-    maps ``stop`` to ``stop_sequences`` and passes only the subset
-    the Messages API documents."""
+    enter a request body, so provider defaults apply otherwise.
+    Each CLIENT sends only the fields its API documents (like the
+    reference's per-provider request structs): the OpenAI-compatible
+    body takes the OpenAI subset (openaicompat.go:55-64), OpenRouter
+    additionally takes top_k / repetition_penalty / min_p / top_a /
+    include_reasoning (openrouter.go:35-49), Anthropic maps ``stop``
+    to ``stop_sequences`` and sends top_p/top_k only, and Ollama
+    maps onto its ``options`` dict — a strict-validating endpoint
+    never sees fields it would reject."""
 
     base_url: str = "http://localhost:8000/v1"
     api_key: str = ""
@@ -64,21 +69,28 @@ class ChatConfig:
     stop: Optional[List[str]] = None
     include_reasoning: Optional[bool] = None
 
-    def sampling_params(self) -> dict:
-        """The non-None sampling parameters as OpenAI-compatible
-        body fields (llm/parameter.go field-for-field)."""
-        out = {}
-        for key in (
-            "temperature", "max_tokens", "top_p", "top_k",
-            "frequency_penalty", "presence_penalty",
-            "repetition_penalty", "min_p", "top_a", "seed",
-            "logit_bias", "logprobs", "top_logprobs", "stop",
-            "include_reasoning",
-        ):
-            val = getattr(self, key)
-            if val is not None:
-                out[key] = val
-        return out
+    # the subset OpenAI itself documents (openaicompat.go:55-64)
+    OPENAI_FIELDS = (
+        "temperature", "max_tokens", "top_p", "frequency_penalty",
+        "presence_penalty", "seed", "logit_bias", "logprobs",
+        "top_logprobs", "stop",
+    )
+    # OpenRouter's extended surface (openrouter.go:35-49)
+    EXTENDED_FIELDS = OPENAI_FIELDS + (
+        "top_k", "repetition_penalty", "min_p", "top_a",
+        "include_reasoning",
+    )
+
+    def sampling_params(self, extended: bool = False) -> dict:
+        """The non-None sampling parameters as request-body fields:
+        the documented OpenAI subset by default, the full OpenRouter
+        surface with ``extended=True``."""
+        fields = self.EXTENDED_FIELDS if extended else self.OPENAI_FIELDS
+        return {
+            key: getattr(self, key)
+            for key in fields
+            if getattr(self, key) is not None
+        }
 
     @classmethod
     def from_env(cls) -> "ChatConfig":
@@ -97,10 +109,20 @@ class ChatError(RuntimeError):
 
 
 class OpenAICompatClient:
-    """``ChatFn``-shaped client for any /chat/completions endpoint."""
+    """``ChatFn``-shaped client for any /chat/completions endpoint.
 
-    def __init__(self, config: Optional[ChatConfig] = None):
+    ``extended_params=True`` sends the full OpenRouter sampling
+    surface instead of the strict OpenAI subset (use for endpoints
+    that document the extra fields; a strict server would reject
+    unknown body fields)."""
+
+    def __init__(
+        self,
+        config: Optional[ChatConfig] = None,
+        extended_params: bool = False,
+    ):
         self.config = config or ChatConfig()
+        self.extended_params = extended_params
 
     def _messages(self, histories: List[str]) -> List[dict]:
         msgs: List[dict] = []
@@ -119,7 +141,7 @@ class OpenAICompatClient:
             "model": cfg.model,
             "messages": self._messages(histories),
         }
-        body.update(cfg.sampling_params())
+        body.update(cfg.sampling_params(extended=self.extended_params))
         url = cfg.base_url.rstrip("/") + "/chat/completions"
         headers = {"Content-Type": "application/json"}
         if cfg.api_key:
@@ -248,7 +270,8 @@ def openrouter_client(
             api_key=api_key or os.environ.get("OPENROUTER_API_KEY", ""),
             model=model,
             extra_headers=extra,
-        )
+        ),
+        extended_params=True,  # openrouter.go:35-49 full surface
     )
 
 

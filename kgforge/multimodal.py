@@ -139,6 +139,8 @@ def decode_gif(payload: bytes):
         pos += 1
         if block == 0x3B:  # trailer
             break
+        if block == 0x00:  # stray padding byte between blocks —
+            continue       # real-world encoders emit these; skip
         if block == 0x21:  # extension: label byte + sub-blocks
             pos = skip_subblocks(pos + 1)
         elif block == 0x2C:  # image descriptor

@@ -187,7 +187,9 @@ def knn_join_bucketed(
         ).alias("bucket"),
     )
     if "bucket" in corpus.columns:
-        _validate_bucket_planes(corpus, n_planes, corpus_n_planes)
+        _validate_bucket_planes(
+            corpus, n_planes, corpus_n_planes, dim=dim
+        )
         c = corpus.select(
             F.col(cid_col).alias("neighbor_id"),
             F.col(cvec_col).alias("cvec"),
@@ -253,14 +255,20 @@ def bucketed_meta_of(df: DataFrame) -> dict | None:
 
 
 def _validate_bucket_planes(
-    corpus: DataFrame, n_planes: int, override: int | None
+    corpus: DataFrame,
+    n_planes: int,
+    override: int | None,
+    dim: int | None = None,
 ) -> None:
     """A precomputed ``bucket`` column is only reusable if it was
-    produced by the SAME hyperplane family as the query side —
-    otherwise the equi-join silently returns wrong neighbors (ADVICE
-    r3).  Provenance comes from the ``_lsh_meta.json`` sidecar
-    (:func:`write_bucketed_embeddings` writes it) or an explicit
-    ``corpus_n_planes`` opt-in; unknown provenance raises."""
+    produced by the SAME hyperplane family as the query side — same
+    plane count AND same dimensionality — otherwise the equi-join
+    silently returns wrong neighbors (ADVICE r3).  Provenance comes
+    from the ``_lsh_meta`` sidecar (:func:`write_bucketed_embeddings`
+    writes it) or an explicit ``corpus_n_planes`` opt-in (which
+    asserts planes only; dim is then the caller's responsibility);
+    unknown provenance raises."""
+    meta = None
     known = override
     if known is None:
         meta = bucketed_meta_of(corpus)
@@ -278,6 +286,17 @@ def _validate_bucket_planes(
             f"n_planes={known} but the query side uses "
             f"n_planes={n_planes}; reusing them would silently "
             "return wrong neighbors"
+        )
+    if (
+        meta is not None
+        and dim is not None
+        and meta.get("dim") is not None
+        and int(meta["dim"]) != dim
+    ):
+        raise ValueError(
+            f"precomputed corpus buckets were built over dim="
+            f"{meta['dim']} vectors but the query side uses "
+            f"dim={dim}; the hyperplane families differ"
         )
 
 
@@ -334,7 +353,9 @@ def lsh_bucket_topk(
     dim = len(query)
     qbucket = query_bucket(query, n_planes)
     if "bucket" in embeddings.columns:
-        _validate_bucket_planes(embeddings, n_planes, corpus_n_planes)
+        _validate_bucket_planes(
+            embeddings, n_planes, corpus_n_planes, dim=dim
+        )
         candidates = embeddings.filter(F.col("bucket") == qbucket)
     else:
         candidates = embeddings.withColumn(

@@ -148,11 +148,14 @@ def read_source_tree(
     ``(v2)`` must not change matching), and the ``input_file_name``
     URI is percent-decoded first (spaces arrive as ``%20``); literal
     ``+`` is protected before decoding since url_decode treats it as
-    a space."""
-    base = os.path.abspath(root)
+    a space.  The root is canonicalized (``realpath``) and handed to
+    Spark in the same form, and a file URI that still falls outside
+    it FAILS the job loudly — silently emitting ``repo=''`` with an
+    absolute path would corrupt every doc_id downstream."""
+    base = os.path.realpath(root)
     df = (
         spark.read.option("recursiveFileLookup", "true")
-        .text(root, wholetext=True)
+        .text(base, wholetext=True)
         .select(
             F.input_file_name().alias("_uri"),
             F.col("value").alias("content"),
@@ -168,7 +171,16 @@ def read_source_tree(
     rel = F.when(
         local.startswith(prefix),
         F.substring(local, len(prefix) + 1, 2**31 - 1),
-    ).otherwise(local)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"source file outside corpus root {prefix!r}: "
+                ),
+                local,
+            )
+        ).cast("string")
+    )
     return df.select(
         F.split(rel, "/")[0].alias("repo"),
         rel.alias("path"),

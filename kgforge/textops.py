@@ -442,16 +442,21 @@ def quality_score_col(text_col):
     )
 
 
-def lang_pred_col(text_col):
-    """Stopword-ratio language prediction as a pure column expr —
-    shared by :func:`language_id` and :func:`corpus_prep`."""
+def _stopword_ratio_col(text_col):
     ws = words(text_col)
     n_words = F.size(ws)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_stop = F.size(
         F.filter(ws, lambda w: F.array_contains(stop_arr, w))
     )
-    ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    return F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+
+
+def lang_pred_col(text_col):
+    """Stopword-ratio language prediction as a pure column expr —
+    the ONE definition shared by :func:`language_id` and
+    :func:`corpus_prep` (and mirrored in the oracle SQL)."""
+    ratio = _stopword_ratio_col(text_col)
     return F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und"))
 
 
@@ -473,11 +478,6 @@ def doc_quality(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
         ) / n_words,
     ).otherwise(F.lit(0.0))
     punct_ratio = _punct_ratio_col(F.col(text_col))
-    score = (
-        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.5
-        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
-        + F.least(n_stop / F.lit(5.0), F.lit(1.0)) * 0.2
-    )
     return docs.select(
         F.col(id_col).alias("doc"),
         n_chars.cast("int").alias("n_chars"),
@@ -485,7 +485,7 @@ def doc_quality(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
         F.round(avg_word_len, 4).alias("avg_word_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         n_stop.cast("int").alias("n_stopwords"),
-        F.round(score, 4).alias("quality_score"),
+        quality_score_col(F.col(text_col)).alias("quality_score"),
     )
 
 
@@ -494,19 +494,11 @@ def language_id(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     English stopwords; >= 2% -> 'en' else 'und'.  (A real n-gram
     model slots into the same shape; the operator contract — one scan,
     one projection — is what matters at scale.)"""
-    words = _words(F.col(text_col))
-    n_words = F.size(words)
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(
-        F.filter(words, lambda w: F.array_contains(stop_arr, w))
-    )
-    ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    ratio = _stopword_ratio_col(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc"),
         F.round(ratio, 4).alias("en_stopword_ratio"),
-        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("und")).alias(
-            "lang_pred"
-        ),
+        lang_pred_col(F.col(text_col)).alias("lang_pred"),
     )
 
 

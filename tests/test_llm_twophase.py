@@ -522,18 +522,31 @@ def test_sampling_parameter_surface_openai_and_anthropic():
             stop=["\n\n", "END"],
             include_reasoning=False,
         )
+        # strict OpenAI subset (openaicompat.go:55-64): the
+        # OpenRouter-only fields must NOT reach a plain endpoint
         assert OpenAICompatClient(cfg)(["hi"]) == "ok"
         body = seen["/v1/chat/completions"]
         assert body["temperature"] == 0.3 and body["top_p"] == 0.9
-        assert body["top_k"] == 40 and body["seed"] == 42
+        assert body["seed"] == 42
         assert body["frequency_penalty"] == 0.1
         assert body["presence_penalty"] == 0.2
-        assert body["repetition_penalty"] == 1.1
-        assert body["min_p"] == 0.05 and body["top_a"] == 0.2
         assert body["logit_bias"] == {"50256": -100}
         assert body["logprobs"] is True and body["top_logprobs"] == 3
         assert body["stop"] == ["\n\n", "END"]
-        assert body["include_reasoning"] is False
+        for extra in ("top_k", "repetition_penalty", "min_p", "top_a",
+                      "include_reasoning"):
+            assert extra not in body, extra
+
+        # extended surface (openrouter.go:35-49) on opt-in
+        seen.clear()
+        assert OpenAICompatClient(cfg, extended_params=True)(
+            ["hi"]
+        ) == "ok"
+        ebody = seen["/v1/chat/completions"]
+        assert ebody["top_k"] == 40
+        assert ebody["repetition_penalty"] == 1.1
+        assert ebody["min_p"] == 0.05 and ebody["top_a"] == 0.2
+        assert ebody["include_reasoning"] is False
 
         # unset parameters never enter the body (provider defaults)
         seen.clear()
