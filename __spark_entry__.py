@@ -416,6 +416,21 @@ def q_vector_ivf_topk(spark, sf_dir):
     return out
 
 
+def q_vector_int8_topk(spark, sf_dir):
+    """Third ANN family: int8-quantized two-stage retrieval.  Stage 1
+    scores the QUANTIZED vectors (per-vector symmetric int8; scales
+    cancel out of the cosine, so the scan reads a quarter of the
+    bytes at 100 TB) and keeps the top 4k candidates; stage 2
+    rescores them with the exact full-precision cosine.  Every step
+    — quantization rounding, integer dot products, both rounded
+    total orders — is deterministic and mirrored in the SQL oracle."""
+    from kgforge.similarity import int8_rescore_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return int8_rescore_topk(emb, qv, 10, rerank=40)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
     cosine verify >= 0.4 — never an all-pairs join.  Graded with the
@@ -985,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "vector_lsh_topk": q_vector_lsh_topk,
         "vector_ivf_topk": q_vector_ivf_topk,
+        "vector_int8_topk": q_vector_int8_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,

@@ -102,6 +102,7 @@ def main() -> None:
         "knn_join",
         "vector_lsh_topk",
         "vector_ivf_topk",
+        "vector_int8_topk",
         "embedding_near_dup",
         "multimodal_decode",
         "multimodal_feature_topk",

@@ -457,6 +457,53 @@ FROM embeddings
 ORDER BY score DESC, id ASC LIMIT 10
 """
 
+    # int8 two-stage ANN parity (__spark_entry__.q_vector_int8_topk):
+    # per-vector symmetric quantization (DOUBLE-promoted arithmetic on
+    # both sides so float32 storage cannot flip a .5 rounding), integer
+    # cosine via list_inner_product (scales cancel), top-40 candidates
+    # by (rounded qscore, id), exact full-precision rescore top-10.
+    q["vector_int8_topk"] = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, embedding, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS s
+  FROM base
+),
+qz AS (
+  SELECT vec_id, embedding,
+         list_transform(v, x -> CAST(round(x / s) AS INTEGER)) AS qv
+  FROM scaled
+),
+qq AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
+approx AS (
+  SELECT vec_id, embedding,
+         round(CAST(list_inner_product(qv, (SELECT qqv FROM qq))
+                    AS DOUBLE)
+               / (sqrt(CAST(list_inner_product(qv, qv) AS DOUBLE))
+                  * sqrt(CAST(list_inner_product(
+                          (SELECT qqv FROM qq),
+                          (SELECT qqv FROM qq)) AS DOUBLE))),
+               4) AS qscore
+  FROM qz
+),
+cand AS (
+  SELECT vec_id, embedding FROM approx
+  ORDER BY qscore DESC, vec_id ASC LIMIT 40
+)
+SELECT vec_id AS id,
+       round(CAST(list_cosine_similarity(embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE), 4) AS score
+FROM cand
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
     # C2 Go chunker parity over the synthesized Go corpus
     # (__spark_entry__.q_kg_chunks_go): header = lines 1..(last import
     # spec + 1); func chunk = package prefix + doc text + decl lines;

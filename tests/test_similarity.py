@@ -260,3 +260,35 @@ def test_precomputed_bucket_provenance_validated(spark, emb, tmp_path):
     ).collect()
     exact = similarity.knn_join(queries, emb, 3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+
+
+def test_int8_quantize_bounds_and_exactness(spark, emb):
+    """int8 two-stage ANN: quantized values stay in [-127, 127];
+    with rerank = corpus size the rescore stage makes the result
+    EXACTLY brute force (same plan family as the other ANN paths);
+    with a small rerank the near-cluster still survives (quantization
+    error is far below the cluster separation)."""
+    from kgforge.similarity import (
+        brute_force_topk,
+        int8_rescore_topk,
+        quantize_embeddings,
+    )
+
+    qz = quantize_embeddings(emb)
+    bounds = qz.selectExpr(
+        "max(array_max(qvec)) as hi", "min(array_min(qvec)) as lo"
+    ).head()
+    assert bounds.hi <= 127 and bounds.lo >= -127
+    # every vector's max-magnitude element quantizes to exactly +-127
+    extremes = qz.selectExpr(
+        "min(greatest(array_max(qvec), -array_min(qvec))) as m"
+    ).head()
+    assert extremes.m == 127
+
+    query = emb.filter(F.col("vec_id") == 0).head()[1]
+    exact = brute_force_topk(emb, query, 5).collect()
+    full = int8_rescore_topk(emb, query, 5, rerank=1000).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+    approx = int8_rescore_topk(emb, query, 5, rerank=10).collect()
+    assert {r.id for r in approx} == {0, 1, 2, 3, 4}  # near-cluster
