@@ -332,6 +332,22 @@ def q_ngram_jaccard(spark, sf_dir):
     return textops.ngram_jaccard_pairs(docs, 3, 0.5, candidates=cands)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup family's CLOSURE step graded: verified near-dup
+    pairs (LSH candidates -> exact Jaccard >= 0.5) fold into one
+    cluster id per document via ITERATIVE min-label propagation
+    (kgforge's first iterative algorithm — per-round persist-cut
+    lineage, convergence-checked), with singletons keeping their own
+    id.  The DuckDB oracle reproduces the fixpoint with a RECURSIVE
+    CTE (min over the transitive closure), so even the iterative
+    operator is hash-exact, not rows-only."""
+    docs = _docs(spark, sf_dir)
+    sig = textops.minhash_signature_rows(textops.shingle_rows(docs), 16)
+    cands = textops.lsh_candidate_pairs(textops.lsh_bands(sig, 4, 4))
+    pairs = textops.ngram_jaccard_pairs(docs, 3, 0.5, candidates=cands)
+    return textops.dedup_clusters(docs, pairs)
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash64(_docs(spark, sf_dir))
 
@@ -995,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "knn_join": q_knn_join,

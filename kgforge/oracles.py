@@ -448,6 +448,30 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
 """
 
+    # Dedup-cluster closure parity (__spark_entry__.q_dedup_clusters):
+    # the iterative min-label propagation converges to the component
+    # minimum over the verified near-dup graph, which a RECURSIVE CTE
+    # reproduces as min over the transitive closure; singletons keep
+    # their own id.
+    q["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({q["ngram_jaccard"]}),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a
+),
+comp AS (
+  SELECT src AS doc, MIN(dst) AS cluster FROM reach GROUP BY src
+)
+SELECT d.doc_id AS doc, coalesce(c.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+"""
+
     q["embedding_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id AS id,

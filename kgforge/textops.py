@@ -531,6 +531,112 @@ def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup-cluster closure (iterative connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the CLOSURE step of
+    the dedup family: pair generators (LSH / winnowing / embedding,
+    including their star candidates for giant clusters) emit edges;
+    this folds them into one cluster id per document (the component
+    minimum), which is what a training-data pipeline actually keys
+    its keep/drop decision on.
+
+    Iterative min-label propagation: each round every vertex takes
+    the min label over itself and its neighbors; rounds needed =
+    graph diameter (near-dup clusters are dense, so typically 2-3;
+    ``max_iter`` bounds pathological chains).  Convergence is checked
+    with one count per round riding the persisted round frame, and
+    each round's lineage is CUT by the persist so the plan does not
+    grow exponentially.  At 10^12-doc scale swap the propagation for
+    the O(log n)-round large-star/small-star variant — the per-round
+    join shape (edges ⋈ labels on uniform ids) is identical.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(
+                labels.select(
+                    F.col("v").alias("dst"),
+                    F.col("label").alias("nlabel"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min("nlabel").alias("minn"))
+        )
+        nxt = (
+            labels.join(msgs, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("minn"), F.col("label")),
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("minn"), F.col("label"))
+                    < F.col("label")
+                ).alias("_changed"),
+            )
+            .persist()
+        )
+        changed = nxt.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = nxt.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc"), F.col("label").alias(
+        "cluster"
+    ))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Every document's dedup cluster id: component minimum for docs
+    that appear in a near-dup pair, the doc's own id for singletons.
+    ``keep = (doc == cluster)`` is then the dedup decision."""
+    comps = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(comps, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("cluster", F.col("doc")).alias("cluster"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Secret / PII scrubbing
 # ---------------------------------------------------------------------------
 

@@ -325,3 +325,32 @@ def test_corpus_prep_funnel(spark):
     assert len(got) == 1
     assert got[0].doc == 0 and got[0].n_docs == 2
     assert got[0].quality_score >= 0.3
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Iterative min-label propagation: a diameter-5 path graph needs
+    multiple propagation rounds (the min label travels one hop per
+    round), separate components stay separate, and dedup_clusters
+    keeps singletons on their own id."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),  # path 0..5
+         (10, 11), (11, 10),                      # duplicate edge
+         (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.doc: r.cluster
+            for r in textops.connected_components(pairs).collect()}
+    assert all(comp[v] == 0 for v in range(6))
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
+
+    docs = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+    clusters = {
+        r.doc: r.cluster
+        for r in textops.dedup_clusters(docs, pairs).collect()
+    }
+    assert clusters[3] == 0 and clusters[11] == 10
+    assert clusters[7] == 7 and clusters[24] == 24  # singletons
+    # keep-decision invariant: exactly one kept doc per cluster
+    kept = [d for d, c in clusters.items() if d == c]
+    assert len(kept) == len(set(clusters.values()))
