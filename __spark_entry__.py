@@ -332,6 +332,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return textops.ngram_jaccard_pairs(docs, 3, 0.5, candidates=cands)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination graded: every 50th document plays
+    the evaluation set; corpus docs sharing any 8-word n-gram with it
+    (the benchmark docs themselves plus their near-duplicates) are
+    flagged with exact hit counts.  The benchmark gram set is tiny by
+    construction, so the plan is the broadcast semi-join shape."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return textops.decontaminate(docs, benchmark, n=8)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """The dedup family's CLOSURE step graded: verified near-dup
     pairs (LSH candidates -> exact Jaccard >= 0.5) fold into one
@@ -1011,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,

@@ -107,6 +107,7 @@ def main() -> None:
         "multimodal_decode",
         "multimodal_feature_topk",
         "ngram_jaccard",
+        "decontaminate",
         "dedup_clusters",
         "kg_chunks_go",
         "kg_chunks_long",

@@ -448,6 +448,27 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
 """
 
+    # Decontamination parity (__spark_entry__.q_decontaminate):
+    # 8-word n-grams (md5-hashed like the operator), benchmark =
+    # every 50th doc, per-doc distinct shared-gram counts.
+    _g8 = " || ' ' || ".join(f"ws[i+{j}]" for j in range(8)).replace(
+        "ws[i+0]", "ws[i]"
+    )
+    q["decontaminate"] = f"""
+WITH w AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+),
+gd AS (
+  SELECT DISTINCT doc, md5({_g8}) AS g
+  FROM w, unnest(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8
+),
+bg AS (SELECT DISTINCT g FROM gd WHERE doc % 50 = 0)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM gd JOIN bg USING (g)
+GROUP BY doc
+"""
+
     # Dedup-cluster closure parity (__spark_entry__.q_dedup_clusters):
     # the iterative min-label propagation converges to the component
     # minimum over the verified near-dup graph, which a RECURSIVE CTE

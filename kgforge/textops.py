@@ -531,6 +531,46 @@ def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (train-test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Train-test overlap detection — the standard decontamination
+    pass a training-data pipeline runs before anything ships: flag
+    every corpus document sharing at least one word n-gram with the
+    evaluation/benchmark set, with per-doc hit counts.
+
+    Scale shape: the benchmark side is SMALL (eval sets are ~10^5
+    documents against a 10^12-doc corpus), so its distinct n-gram
+    md5 set broadcasts and the corpus side is one linear n-gram
+    stream (window ``lead`` over exploded words, the shingle_rows
+    machinery) semi-joined against it — no shuffle of the corpus
+    beyond its per-doc gram assembly, one aggregation for the
+    counts.  Returns (doc, n_hits) for contaminated docs only."""
+    bench_grams = (
+        shingle_rows(benchmark, n, id_col, bench_text_col)
+        .select(F.md5("shingle").alias("g"))
+        .distinct()
+    )
+    corpus_grams = shingle_rows(docs, n, id_col, text_col).select(
+        "doc", F.md5("shingle").alias("g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup-cluster closure (iterative connected components)
 # ---------------------------------------------------------------------------
 

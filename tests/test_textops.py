@@ -354,3 +354,33 @@ def test_connected_components_chain_and_singletons(spark):
     # keep-decision invariant: exactly one kept doc per cluster
     kept = [d for d, c in clusters.items() if d == c]
     assert len(kept) == len(set(clusters.values()))
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Decontamination: docs sharing an n-gram with the benchmark set
+    are flagged with exact hit counts; clean docs and short docs
+    (fewer than n words) are not; the plan broadcasts the benchmark
+    gram set (no corpus-side blowup)."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix words the quick brown fox jumps over the "
+                "lazy dog today and more"),   # contains bench 8-grams
+            (1, "a completely different sentence without any overlap "
+                "with anything benchmarked at all here"),
+            (2, "short doc"),                 # < 8 words: no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc: r.n_hits
+           for r in textops.decontaminate(docs, bench, n=8).collect()}
+    assert 0 in got and got[0] >= 1
+    assert 1 not in got and 2 not in got
+    plan = (
+        textops.decontaminate(docs, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
