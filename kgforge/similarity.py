@@ -696,17 +696,24 @@ def int8_rescore_topk(
         embeddings = quantize_embeddings(embeddings, vec_col)
     qq = quantize_vector(query)
     qq_col = F.array(*[F.lit(int(v)) for v in qq])
-    cand = (
+    # stage 1 touches ONLY (id, qvec) — projecting the float vector
+    # through the candidate scan would re-read the full-precision
+    # bytes and defeat the quantization's 4x I/O saving; the tiny
+    # candidate id set broadcasts back for the exact rescore.
+    cand_ids = (
         embeddings.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("_vec"),
             F.round(
                 _int_cosine(F.col("qvec"), qq_col), 4
             ).alias("qscore"),
         )
         .orderBy(F.desc("qscore"), F.asc("id"))
         .limit(rerank)
+        .select("id")
     )
+    cand = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_vec")
+    ).join(F.broadcast(cand_ids), "id", "left_semi")
     return (
         cand.select(
             "id",

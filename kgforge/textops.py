@@ -591,12 +591,17 @@ def connected_components(
     Iterative min-label propagation: each round every vertex takes
     the min label over itself and its neighbors; rounds needed =
     graph diameter (near-dup clusters are dense, so typically 2-3;
-    ``max_iter`` bounds pathological chains).  Convergence is checked
-    with one count per round riding the persisted round frame, and
-    each round's lineage is CUT by the persist so the plan does not
-    grow exponentially.  At 10^12-doc scale swap the propagation for
-    the O(log n)-round large-star/small-star variant — the per-round
-    join shape (edges ⋈ labels on uniform ids) is identical.
+    ``max_iter`` bounds pathological chains — exhausting it RAISES
+    rather than returning a silently split clustering).  Convergence
+    is checked with one count per round riding the persisted round
+    frame, each round's lineage is CUT by its persist, and the prior
+    round's cache is freed every round (the loop variable stays the
+    persisted Dataset itself — unpersisting a projection of it would
+    be a CacheManager no-op).  The FINAL label frame remains cached
+    for the caller's consumption.  At 10^12-doc scale swap the
+    propagation for the O(log n)-round large-star/small-star variant
+    — the per-round join shape (edges ⋈ labels on uniform ids) is
+    identical.
     """
     edges = (
         pairs.select(
@@ -610,13 +615,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # labels carries _changed through the loop so the loop variable
+    # is always the persisted 3-column Dataset (unpersist works)
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
+        .withColumn("_changed", F.lit(False))
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         msgs = (
             edges.join(
@@ -630,7 +639,8 @@ def connected_components(
             .agg(F.min("nlabel").alias("minn"))
         )
         nxt = (
-            labels.join(msgs, "v", "left")
+            labels.select("v", "label")
+            .join(msgs, "v", "left")
             .select(
                 "v",
                 F.least(
@@ -646,13 +656,23 @@ def connected_components(
         )
         changed = nxt.filter(F.col("_changed")).count()
         labels.unpersist()
-        labels = nxt.drop("_changed")
+        labels = nxt
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
-    return labels.select(F.col("v").alias("doc"), F.col("label").alias(
-        "cluster"
-    ))
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iter} rounds (a component's diameter exceeds it); "
+            "raise max_iter or use a large-star/small-star variant — "
+            "returning partially-propagated labels would silently "
+            "split clusters"
+        )
+    return labels.select(
+        F.col("v").alias("doc"), F.col("label").alias("cluster")
+    )
 
 
 def dedup_clusters(

@@ -384,3 +384,13 @@ def test_decontaminate_flags_benchmark_overlap(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """A component whose diameter exceeds max_iter must RAISE, never
+    return a silently split clustering."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        textops.connected_components(pairs, max_iter=2)
