@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -228,26 +229,57 @@ def knn_join_bucketed(
 LSH_META = "_lsh_meta"
 
 
+def _local_path(p: str) -> str | None:
+    """Local filesystem path for a URI, or None for remote schemes."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    if "://" not in p:
+        return p
+    return None
+
+
+def _read_meta_dir_local(meta_dir: str) -> dict | None:
+    if not os.path.isdir(meta_dir):
+        return None
+    for name in sorted(os.listdir(meta_dir)):
+        if name.startswith(("_", ".")):
+            continue
+        with open(os.path.join(meta_dir, name)) as fh:
+            line = fh.readline().strip()
+            if line:
+                return json.loads(line)
+    return None
+
+
 def bucketed_meta_of(df: DataFrame) -> dict | None:
     """Recover the ``_lsh_meta`` sidecar of the table a DataFrame was
     read from, if any (walk up from an input-file URI past the
-    ``bucket=K`` partition dir, reading candidates via Spark so
-    remote filesystems work)."""
+    ``bucket=K`` partition dir).  Local paths short-circuit to direct
+    file IO — probing candidates with Spark jobs costs seconds per
+    validation; remote schemes fall back to Spark's Hadoop IO."""
     files = df.inputFiles()
     if not files:
         return None
     d = files[0].rsplit("/", 1)[0]
     for _ in range(4):
-        try:
-            rows = (
-                df.sparkSession.read.text(d + "/" + LSH_META)
-                .limit(1)
-                .collect()
-            )
-            if rows:
-                return json.loads(rows[0].value)
-        except Exception:  # noqa: BLE001 — path absent at this level
-            pass
+        lp = _local_path(d)
+        if lp is not None:
+            meta = _read_meta_dir_local(os.path.join(lp, LSH_META))
+            if meta is not None:
+                return meta
+        else:
+            try:
+                rows = (
+                    df.sparkSession.read.text(d + "/" + LSH_META)
+                    .limit(1)
+                    .collect()
+                )
+                if rows:
+                    return json.loads(rows[0].value)
+            except Exception:  # noqa: BLE001 — absent at this level
+                pass
         if "/" not in d:
             break
         d = d.rsplit("/", 1)[0]
@@ -386,17 +418,26 @@ def write_bucketed_embeddings(
         .parquet(path)
     )
     # Record the hyperplane family so readers can verify the bucket
-    # column matches their query-side bucketing (ADVICE r3).  Written
-    # through Spark so it lands next to the data on ANY filesystem.
+    # column matches their query-side bucketing (ADVICE r3).  Local
+    # paths write directly (a Spark job for one row costs ~0.5 s per
+    # index build); remote filesystems go through Spark's Hadoop IO
+    # so the sidecar lands next to the data anywhere.
     meta = json.dumps({"n_planes": n_planes, "dim": dim})
-    (
-        embeddings.sparkSession.createDataFrame(
-            [(meta,)], "value string"
+    lp = _local_path(path)
+    if lp is not None:
+        meta_dir = os.path.join(lp, LSH_META)
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(os.path.join(meta_dir, "part-00000"), "w") as fh:
+            fh.write(meta + "\n")
+    else:
+        (
+            embeddings.sparkSession.createDataFrame(
+                [(meta,)], "value string"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(path.rstrip("/") + "/" + LSH_META)
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(path.rstrip("/") + "/" + LSH_META)
-    )
 
 
 def _round_away(x: float, digits: int = 4) -> float:
