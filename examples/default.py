@@ -1,0 +1,93 @@
+"""End-to-end example mirroring the reference's examples/default
+(/root/reference/examples/default/main.go): ingest documents into the
+knowledge graph, then answer a query against it.
+
+The reference wires Neo4j + Chromem + Bolt and an OpenAI LLM; here
+the storage planes are one ParquetTableStore (Iceberg-style manifest
+snapshots) and extraction defaults to the deterministic heuristic so
+the example runs OFFLINE.  Point it at a real LLM by registering an
+HTTP extractor (any OpenAI-compatible endpoint, Anthropic, OpenRouter
+or a local Ollama) before building the config:
+
+    from kgforge.llmclient import ChatConfig, register_llm_extractor
+    register_llm_extractor("llm", ChatConfig.from_env())
+    cfg = PipelineConfig(extractor="llm")
+
+Usage:
+    python examples/default.py [corpus_dir_or_parquet] [store_dir]
+
+With no arguments it ingests the harness sf0.001 documents table and
+queries the built graph.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kgforge.pipeline import (  # noqa: E402
+    PipelineConfig,
+    documents_as_repos,
+    run_insert,
+)
+from kgforge.query import query, render_query_result  # noqa: E402
+from kgforge.session import build_session  # noqa: E402
+from kgforge.store import ParquetTableStore  # noqa: E402
+
+
+def main() -> None:
+    corpus = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else "/root/testdata/sf0.001/documents.parquet"
+    )
+    store_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else tempfile.mkdtemp(prefix="kgforge-example-")
+    )
+    spark = build_session("kgforge-example", master="local[8]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if corpus.endswith(".parquet"):
+        repos = documents_as_repos(spark.read.parquet(corpus))
+    else:
+        from kgforge.sources import read_source_tree
+
+        repos = read_source_tree(spark, corpus)
+
+    store = ParquetTableStore(spark, store_dir)
+    cfg = PipelineConfig()
+
+    # Insert (reference: rag.Insert per document; here one batch run —
+    # re-running is a no-op thanks to the sha-gate, and a changed file
+    # reprocesses exactly itself).
+    metrics = run_insert(spark, repos, store, cfg)
+    print("insert metrics:", metrics)
+
+    # Query (reference: rag.Query -> QueryResult.String fed to the
+    # chat LLM; the rendered CSV context below is exactly that prompt
+    # payload).
+    result = query(
+        low_keywords="customer orders stream",
+        high_keywords="window partition column",
+        nodes=store.read("nodes"),
+        edges=store.read("edges"),
+        chunks=store.read("chunks"),
+        embeddings=store.read("embeddings").select(
+            "id", "kind", F.col("vector"), "src", "dst"
+        ),
+        k=5,
+    )
+    print(render_query_result(result)[:2000])
+
+
+if __name__ == "__main__":
+    main()
