@@ -675,6 +675,123 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the O(log n)-round variant :func:`connected_components`'
+    docstring points to for 10^12-doc scale, where min-label
+    propagation's diameter-many rounds would be the bottleneck.
+
+    Per round: large-star hooks every neighbor LARGER than u onto
+    u's neighborhood minimum; small-star re-hangs the smaller
+    neighbors (and u) onto it.  Each phase is one groupBy over the
+    current edge set; rounds shrink tree heights geometrically, and
+    at the fixpoint the edges form stars (child -> component min).
+    Convergence = the canonical edge set stops changing (count +
+    order-insensitive hash compared per round, riding the persisted
+    round frame).  Same contract as connected_components: returns
+    (doc, cluster) with cluster = component minimum, raising if
+    ``max_iter`` is exhausted."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+        )
+    )
+
+    def large_star(edges):
+        sym = edges.select(both.alias("e")).select("e.a", "e.b")
+        grouped = sym.groupBy("a").agg(
+            F.collect_set("b").alias("nbrs")
+        )
+        m = F.array_min(
+            F.array_union(F.col("nbrs"), F.array(F.col("a")))
+        )
+        return (
+            grouped.select(
+                F.col("a"),
+                m.alias("m"),
+                F.explode("nbrs").alias("v"),
+            )
+            .filter(F.col("v") > F.col("a"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(edges):
+        # orient (larger, smaller); group by the larger endpoint
+        oriented = edges.select(
+            F.greatest("u", "v").alias("a"),
+            F.least("u", "v").alias("b"),
+        ).filter(F.col("a") != F.col("b"))
+        grouped = oriented.groupBy("a").agg(
+            F.collect_set("b").alias("nbrs")
+        )
+        m = F.array_min(
+            F.array_union(F.col("nbrs"), F.array(F.col("a")))
+        )
+        return (
+            grouped.select(
+                F.col("a"),
+                m.alias("m"),
+                F.explode(
+                    F.array_union(F.col("nbrs"), F.array(F.col("a")))
+                ).alias("v"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def checksum(edges):
+        row = edges.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).distinct().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**40))),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    prev_sum = checksum(edges)
+    converged = False
+    for _ in range(max_iter):
+        nxt = small_star(large_star(edges)).distinct().persist()
+        cur_sum = checksum(nxt)
+        edges.unpersist()
+        edges = nxt
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} rounds"
+        )
+    # fixpoint edges are stars (child -> component min); roots label
+    # themselves
+    children = edges.select(
+        F.col("u").alias("doc"), F.col("v").alias("cluster")
+    )
+    roots = edges.select(F.col("v").alias("doc")).distinct().join(
+        children.select("doc"), "doc", "left_anti"
+    ).withColumn("cluster", F.col("doc"))
+    return children.unionByName(roots)
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -394,3 +394,45 @@ def test_connected_components_raises_on_iteration_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         textops.connected_components(pairs, max_iter=2)
+
+
+def test_star_components_equal_label_propagation(spark):
+    """Large-star/small-star (the O(log n)-round scale variant) must
+    produce the same clustering as min-label propagation on random
+    graphs — chains, cliques, forests, duplicate and self edges."""
+    import random
+
+    random.seed(11)
+    cases = [
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)],       # chain
+        [(i, j) for i in range(5) for j in range(i)],   # clique
+        [(10, 11), (12, 13), (11, 12), (20, 21)],       # merge + iso
+        [(1, 1), (2, 3), (3, 2)],                       # self/dupes
+    ]
+    for _ in range(4):
+        n = random.randint(5, 14)
+        edges = [
+            (random.randrange(n), random.randrange(n))
+            for _ in range(random.randint(3, 18))
+        ]
+        cases.append(edges)
+    for edges in cases:
+        pairs = spark.createDataFrame(
+            edges, "doc_a long, doc_b long"
+        )
+        lab = {r.doc: r.cluster
+               for r in textops.connected_components(pairs).collect()}
+        star = {
+            r.doc: r.cluster
+            for r in textops.connected_components_star(pairs).collect()
+        }
+        # same vertex set (minus pure self-loop singletons, which the
+        # star variant drops with its self-edge filter) and identical
+        # cluster assignment on the shared vertices
+        for v, c in star.items():
+            assert lab[v] == c, (edges, v, c, lab.get(v))
+        for v, c in lab.items():
+            if v in star:
+                assert star[v] == c
+            else:  # vertex only touched by self-loops -> own cluster
+                assert c == v, (edges, v)
