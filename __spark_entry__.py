@@ -351,7 +351,9 @@ def q_dedup_clusters(spark, sf_dir):
     lineage, convergence-checked), with singletons keeping their own
     id.  The DuckDB oracle reproduces the fixpoint with a RECURSIVE
     CTE (min over the transitive closure), so even the iterative
-    operator is hash-exact, not rows-only."""
+    operator is hash-exact, not rows-only.  (The O(log n)-round
+    large-star/small-star variant, connected_components_star, is
+    property-tested equal and is the 10^12-doc configuration.)"""
     docs = _docs(spark, sf_dir)
     sig = textops.minhash_signature_rows(textops.shingle_rows(docs), 16)
     cands = textops.lsh_candidate_pairs(textops.lsh_bands(sig, 4, 4))
