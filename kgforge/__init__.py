@@ -11,19 +11,30 @@ designed for 10^12-file corpora.
 """
 
 __all__ = [
+    "bpe",
     "canonicalize",
     "checkpoint",
     "chunking",
+    "corpus",
     "embedding",
     "extraction",
     "gochunk",
+    "llm",
+    "llmclient",
+    "markdown",
     "merge",
+    "multimodal",
     "pipeline",
     "query",
+    "rag",
     "schemas",
+    "semantic",
     "session",
     "similarity",
+    "sources",
     "store",
+    "streaming",
     "textops",
     "tokenizer",
+    "twophase",
 ]
