@@ -91,25 +91,17 @@ def _cap_posting_lists(
     key_cols: List[str],
     max_posting: int | None,
     on_drop=None,
-    strategy: str = "window",
 ):
-    """Drop rows of posting lists larger than ``max_posting``.
-
-    Two physical strategies, same result — pick by the shape of
-    ``df``:
-
-    - ``"window"`` (default): a window count over the posting key
-      annotates rows in place — ONE pass over ``df``'s lineage, and
-      the shuffle it introduces is on the same key the downstream
-      self-join needs anyway (the exchange is reused).  Right when
-      the lineage is expensive (shingle/minhash pipelines) and rows
-      are narrow.
-    - ``"antijoin"``: a keys-only size aggregate finds over-cap keys
-      (rare by construction — they ARE the boilerplate) and a LEFT
-      ANTI join removes their rows; AQE broadcasts the tiny/empty hot
-      set, so wide payload columns never shuffle.  Right when rows
-      are wide (embedding vectors) and the lineage is a cheap scan —
-      the lineage does execute twice (sizes + main).
+    """Drop rows of posting lists larger than ``max_posting`` via a
+    window count over the posting key — ONE pass over ``df``'s
+    lineage, and the shuffle it introduces is on the same key the
+    downstream self-join needs anyway (the exchange is reused; an
+    anti-join against a keys-only size aggregate was measured ~2x
+    slower here because the expensive shingle/minhash lineage
+    executes twice).  Used by the winnowing sketch, whose
+    stop-fingerprints are REMOVED outright; the candidate generators
+    (lsh_candidate_pairs, embedding_near_dup) instead fall back to
+    star candidates inline — see DEFAULT_POSTING_CAP.
 
     With ``on_drop(dropped_rows, max_posting)`` given, an explicit
     audit aggregate runs first and reports what the cap removes (one
@@ -137,14 +129,6 @@ def _cap_posting_lists(
             .collect()[0]
         )
         on_drop(int(row["dropped_rows"]), int(row["max_posting"]))
-    if strategy == "antijoin":
-        sizes = df.groupBy(*key_cols).agg(
-            F.count(F.lit(1)).alias("_n_post")
-        )
-        hot = sizes.filter(F.col("_n_post") > max_posting).select(
-            *key_cols
-        )
-        return df.join(hot, key_cols, "left_anti")
     w = Window.partitionBy(*key_cols)
     return (
         df.withColumn("_n_post", F.count(F.lit(1)).over(w))
