@@ -361,6 +361,19 @@ def q_dedup_clusters(spark, sf_dir):
     return textops.dedup_clusters(docs, pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """The SAME clustering through the O(log n)-round large-star/
+    small-star algorithm (Kiveris et al.) — graded against the SAME
+    recursive-CTE oracle as `dedup_clusters`, so both iterative
+    algorithms are hash-exact, and the 10^12-doc configuration is
+    itself in the graded surface rather than pytest-only."""
+    docs = _docs(spark, sf_dir)
+    sig = textops.minhash_signature_rows(textops.shingle_rows(docs), 16)
+    cands = textops.lsh_candidate_pairs(textops.lsh_bands(sig, 4, 4))
+    pairs = textops.ngram_jaccard_pairs(docs, 3, 0.5, candidates=cands)
+    return textops.dedup_clusters(docs, pairs, algorithm="star")
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash64(_docs(spark, sf_dir))
 
@@ -1026,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "knn_join": q_knn_join,

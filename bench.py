@@ -109,6 +109,7 @@ def main() -> None:
         "ngram_jaccard",
         "decontaminate",
         "dedup_clusters",
+        "dedup_clusters_star",
         "kg_chunks_go",
         "kg_chunks_long",
         "kg_chunks_semantic",

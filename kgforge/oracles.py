@@ -469,6 +469,10 @@ FROM gd JOIN bg USING (g)
 GROUP BY doc
 """
 
+    # (the star-algorithm variant produces the identical clustering,
+    # so it grades against the same SQL — registered below after
+    # dedup_clusters is built)
+
     # Dedup-cluster closure parity (__spark_entry__.q_dedup_clusters):
     # the iterative min-label propagation converges to the component
     # minimum over the verified near-dup graph, which a RECURSIVE CTE
@@ -492,6 +496,7 @@ comp AS (
 SELECT d.doc_id AS doc, coalesce(c.cluster, d.doc_id) AS cluster
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
 """
+    q["dedup_clusters_star"] = q["dedup_clusters"]
 
     q["embedding_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -782,11 +782,23 @@ def dedup_clusters(
     id_col: str = "doc_id",
     id_a: str = "doc_a",
     id_b: str = "doc_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Every document's dedup cluster id: component minimum for docs
     that appear in a near-dup pair, the doc's own id for singletons.
-    ``keep = (doc == cluster)`` is then the dedup decision."""
-    comps = connected_components(pairs, id_a, id_b)
+    ``keep = (doc == cluster)`` is then the dedup decision.
+    ``algorithm``: ``label`` (min-label propagation, diameter-many
+    rounds — dense near-dup clusters converge in 2-3) or ``star``
+    (large-star/small-star, O(log n) rounds — the 10^12-doc
+    configuration); both produce the identical clustering."""
+    if algorithm == "star":
+        comps = connected_components_star(pairs, id_a, id_b)
+    elif algorithm == "label":
+        comps = connected_components(pairs, id_a, id_b)
+    else:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r} (label | star)"
+        )
     return (
         docs.select(F.col(id_col).alias("doc"))
         .join(comps, "doc", "left")
