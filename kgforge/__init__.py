@@ -15,6 +15,7 @@ __all__ = [
     "canonicalize",
     "checkpoint",
     "chunking",
+    "cli",
     "corpus",
     "embedding",
     "extraction",
@@ -24,6 +25,7 @@ __all__ = [
     "markdown",
     "merge",
     "multimodal",
+    "oracles",
     "pipeline",
     "query",
     "rag",

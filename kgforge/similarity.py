@@ -230,26 +230,37 @@ LSH_META = "_lsh_meta"
 
 
 def _local_path(p: str) -> str | None:
-    """Local filesystem path for a URI, or None for remote schemes."""
+    """Local filesystem path for a URI, or None for remote schemes.
+    Any scheme prefix other than ``file:`` is remote — including
+    legal single-slash forms like ``hdfs:/tmp/x`` (testing for
+    ``://`` alone would misroute those to the driver's local disk)."""
+    import re
+
     if p.startswith("file:"):
         from urllib.parse import unquote, urlparse
 
         return unquote(urlparse(p).path)
-    if "://" not in p:
-        return p
-    return None
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", p):
+        return None
+    return p
 
 
 def _read_meta_dir_local(meta_dir: str) -> dict | None:
-    if not os.path.isdir(meta_dir):
+    """Best-effort sidecar read: any unreadable/corrupt candidate
+    degrades to None (-> walk continues -> the actionable 'unknown
+    provenance' error), never a crash mid-query."""
+    try:
+        if not os.path.isdir(meta_dir):
+            return None
+        for name in sorted(os.listdir(meta_dir)):
+            if name.startswith(("_", ".")):
+                continue
+            with open(os.path.join(meta_dir, name)) as fh:
+                line = fh.readline().strip()
+                if line:
+                    return json.loads(line)
+    except (OSError, ValueError):
         return None
-    for name in sorted(os.listdir(meta_dir)):
-        if name.startswith(("_", ".")):
-            continue
-        with open(os.path.join(meta_dir, name)) as fh:
-            line = fh.readline().strip()
-            if line:
-                return json.loads(line)
     return None
 
 

@@ -426,13 +426,6 @@ def test_star_components_equal_label_propagation(spark):
             r.doc: r.cluster
             for r in textops.connected_components_star(pairs).collect()
         }
-        # same vertex set (minus pure self-loop singletons, which the
-        # star variant drops with its self-edge filter) and identical
-        # cluster assignment on the shared vertices
-        for v, c in star.items():
-            assert lab[v] == c, (edges, v, c, lab.get(v))
-        for v, c in lab.items():
-            if v in star:
-                assert star[v] == c
-            else:  # vertex only touched by self-loops -> own cluster
-                assert c == v, (edges, v)
+        # identical contract: same vertex set (including self-loop-
+        # only vertices), same cluster assignment
+        assert star == lab, (edges, star, lab)
