@@ -65,6 +65,32 @@ DEFAULT_MAX_SOURCES = 1024
 _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 
+def min_list_cap_for_summary(max_summary_tokens: int) -> int:
+    """Smallest ``max_list_values`` cap that is LOSSLESS for a
+    downstream :func:`apply_description_summary` gate of
+    ``max_summary_tokens`` (ADVICE r4 — the cap and the gate are
+    coupled; a cap below this can truncate a description list the
+    summary would still have read).
+
+    Two requirements, take the max:
+
+    - the gate must FIRE before the cap can drop anything: n entries
+      join to >= 4n - 3 tokens (each entry >= 1 token, each <SEP>
+      adds 3), so lists longer than (max_tokens + 3) / 4 entries are
+      always summarized;
+    - the summary itself keeps at most a max_tokens/2-token prefix
+      (mock_summarize's budget; first entry always kept), i.e. fewer
+      than max_tokens/2 + 1 entries — the cap must retain at least
+      that prefix.
+
+    The second bound dominates for every max_tokens >= 2.  The
+    defaults satisfy it: min_list_cap_for_summary(1200) = 601 <= 1024.
+    """
+    gate_bound = (max_summary_tokens + 3 + 3) // 4  # ceil((t+3)/4)
+    summary_bound = max_summary_tokens // 2 + 1
+    return max(gate_bound, summary_bound)
+
+
 def mock_summarize(name: str, descriptions: list) -> str:
     """Deterministic stand-in for the LLM summarizer
     (descriptionsSummary, insert.go:692-723).  Keeps descriptions in
@@ -267,11 +293,23 @@ def aggregate_entities(
     mentions: DataFrame,
     existing_nodes: Optional[DataFrame] = None,
     now: Optional[dt.datetime] = None,
+    max_list_values: Optional[int] = None,
+    max_sources: Optional[int] = None,
 ) -> DataFrame:
     """E4a: mention rows (+ optional existing nodes) -> merged nodes.
 
     mentions: entity_name, entity_type, description, chunk_id,
     order_key.  existing_nodes: NODES_SCHEMA.
+
+    ``max_list_values`` / ``max_sources`` bound per-key reducer state
+    (default :data:`DEFAULT_MAX_LIST_VALUES` /
+    :data:`DEFAULT_MAX_SOURCES`; see :func:`_reduce_tall`).  COUPLING
+    (ADVICE r4): the desc cap is lossless only w.r.t. a
+    :func:`apply_description_summary` gate of at most
+    ``max_tokens`` where ``max_list_values >=``
+    :func:`min_list_cap_for_summary` ``(max_tokens)`` — a caller
+    raising the summary budget past ~2x the cap must raise the cap
+    too, or the summary silently reads a truncated list.
     """
     now = now or _EPOCH
     new = mentions.select(
@@ -350,7 +388,10 @@ def aggregate_entities(
             ex_sid
         )
 
-    out = _reduce_tall(tall, ["entity_id"])
+    out = _reduce_tall(
+        tall, ["entity_id"],
+        max_list_values=max_list_values, max_sources=max_sources,
+    )
     return out.select(
         "entity_id",
         "entity_type",
@@ -365,8 +406,15 @@ def aggregate_relationships(
     mentions: DataFrame,
     existing_edges: Optional[DataFrame] = None,
     now: Optional[dt.datetime] = None,
+    max_list_values: Optional[int] = None,
+    max_sources: Optional[int] = None,
 ) -> DataFrame:
-    """E4b: relationship mentions (+ existing edges) -> merged edges."""
+    """E4b: relationship mentions (+ existing edges) -> merged edges.
+
+    ``max_list_values`` / ``max_sources``: see
+    :func:`aggregate_entities` (same bounds, same summary-gate
+    coupling — here the desc/kw caps vs the edge description
+    summary)."""
     now = now or _EPOCH
     keys = ["src", "dst"]
     new = mentions.select(
@@ -481,7 +529,10 @@ def aggregate_relationships(
             .unionByName(ex_sid)
         )
 
-    out = _reduce_tall(tall, keys)
+    out = _reduce_tall(
+        tall, keys,
+        max_list_values=max_list_values, max_sources=max_sources,
+    )
     return out.select(
         "src",
         "dst",
@@ -508,6 +559,13 @@ def apply_description_summary(
     Token counting + summarization run in one Arrow-batched pandas UDF
     over the already-aggregated rows (one row per entity/edge — tiny
     relative to mentions).  Rows under the limit keep their arrays.
+
+    COUPLING (ADVICE r4): if ``df`` came from an ``aggregate_*`` call
+    with a ``max_list_values`` cap, ``max_tokens`` must satisfy
+    ``max_list_values >= min_list_cap_for_summary(max_tokens)`` —
+    otherwise this summarizes an already-truncated list.  Holds for
+    the defaults (601 <= 1024); a caller raising ``max_tokens`` past
+    ~2x the cap must raise the cap alongside it.
     """
 
     @pandas_udf(ArrayType(StringType()))

@@ -87,22 +87,30 @@ def knn_join(
     cid_col: str = "vec_id",
     cvec_col: str = "embedding",
     broadcast_threshold: int = 64,
+    n_planes: int = 4,
+    corpus_n_planes: int | None = None,
 ) -> DataFrame:
     """Batch k-NN join.  Above ``broadcast_threshold`` query rows the
     LSH-bucket equi-join (:func:`knn_join_bucketed`, exhaustive
     probes — exact, no crossJoin) is the default; at or below it, a
     broadcast of the tiny query side scored against every corpus row
-    is cheaper than bucketing both sides."""
+    is cheaper than bucketing both sides.  ``n_planes`` /
+    ``corpus_n_planes`` forward to the bucketed path (ADVICE r4): a
+    corpus carrying an in-memory precomputed ``bucket`` column (no
+    sidecar) would otherwise raise 'unknown provenance' with no
+    escape hatch at this call site, and a corpus pre-bucketed with a
+    non-default plane count could never match."""
     # bounded dispatch probe: scan stops after threshold+1 rows
     # instead of counting the whole query side
     n_queries = queries.limit(broadcast_threshold + 1).count()
     if n_queries > broadcast_threshold:
         dim = len(queries.select(qvec_col).head()[0])
         return knn_join_bucketed(
-            queries, corpus, k,
+            queries, corpus, k, n_planes=n_planes,
             qid_col=qid_col, qvec_col=qvec_col,
             cid_col=cid_col, cvec_col=cvec_col,
             probe_hamming=None, dim=dim,
+            corpus_n_planes=corpus_n_planes,
         )
     q = F.broadcast(
         queries.select(
@@ -266,15 +274,20 @@ def _read_meta_dir_local(meta_dir: str) -> dict | None:
 
 def bucketed_meta_of(df: DataFrame) -> dict | None:
     """Recover the ``_lsh_meta`` sidecar of the table a DataFrame was
-    read from, if any (walk up from an input-file URI past the
-    ``bucket=K`` partition dir).  Local paths short-circuit to direct
+    read from, if any.  The walk from an input-file URI is LIMITED to
+    two levels — the file's own directory (the ``bucket=K`` partition
+    dir) and its parent (the table root where
+    :func:`write_bucketed_embeddings` drops the sidecar) — so a
+    sidecar belonging to a DIFFERENT table higher up the directory
+    tree can never be attributed to this corpus and false-PASS the
+    plane validation (ADVICE r4).  Local paths short-circuit to direct
     file IO — probing candidates with Spark jobs costs seconds per
     validation; remote schemes fall back to Spark's Hadoop IO."""
     files = df.inputFiles()
     if not files:
         return None
     d = files[0].rsplit("/", 1)[0]
-    for _ in range(4):
+    for _ in range(2):
         lp = _local_path(d)
         if lp is not None:
             meta = _read_meta_dir_local(os.path.join(lp, LSH_META))

@@ -100,11 +100,21 @@ def read_corpus(
     path: str,
     format: str = "parquet",
     commit: str = "HEAD",
+    csv_multiline: bool = False,
 ) -> DataFrame:
     """Read a corpus in any supported wire format as REPOS_SCHEMA.
 
     ``format``: ``parquet`` | ``json`` (JSONL) | ``csv`` (headered) |
     ``text`` (raw source files, one row per file).
+
+    ``csv_multiline`` (ADVICE r4): ``multiLine=true`` makes every CSV
+    file non-splittable (one task per file), so it is OFF by default
+    — the splittable configuration a 100 TB corpus needs, with files
+    providing the parallelism.  Source-code content almost always
+    contains quoted newlines, which single-line mode cannot parse;
+    the reader runs FAILFAST so such a corpus raises loudly (flip
+    ``csv_multiline=True``, or pre-split the corpus into many files)
+    instead of silently corrupting rows.
     """
     if format == "parquet":
         return _conform(spark.read.parquet(path), "parquet")
@@ -121,7 +131,8 @@ def read_corpus(
             spark.read.schema(REPOS_SCHEMA)
             .option("header", "true")
             .option("enforceSchema", "false")
-            .option("multiLine", "true")
+            .option("multiLine", "true" if csv_multiline else "false")
+            .option("mode", "FAILFAST")
             .option("escape", '"')
             .csv(path),
             "csv",

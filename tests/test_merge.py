@@ -475,3 +475,47 @@ def test_merge_matches_reference_model_property(spark):
                 assert g.n_sources == w["n_sources"], name
 
     run()
+
+
+def test_min_list_cap_for_summary_coupling():
+    """ADVICE r4: the desc-cap <-> summary-gate coupling is explicit.
+    The default cap is lossless for the default gate, and the helper
+    states the smallest safe cap for larger budgets."""
+    from kgforge.merge import (
+        DEFAULT_MAX_LIST_VALUES,
+        DEFAULT_MAX_SUMMARY_TOKENS,
+        min_list_cap_for_summary,
+    )
+
+    assert min_list_cap_for_summary(DEFAULT_MAX_SUMMARY_TOKENS) == 601
+    assert (
+        min_list_cap_for_summary(DEFAULT_MAX_SUMMARY_TOKENS)
+        <= DEFAULT_MAX_LIST_VALUES
+    )
+    # a 4k-token gate needs a cap above the default — the case the
+    # advice flagged as silently summarizing a truncated list
+    assert min_list_cap_for_summary(4096) > DEFAULT_MAX_LIST_VALUES
+
+
+def test_aggregate_entities_threads_caps(spark):
+    """The public aggregate_* signatures accept the per-key state
+    bounds (ADVICE r4).  With a tiny max_list_values the description
+    list truncates to the append-order prefix while n_sources stays
+    exact via the pre-cap rider."""
+    from kgforge.merge import aggregate_entities
+
+    rows = [
+        ("E", "TYPE", f"desc {i:02d}", f"c-{i:02d}", f"{i:02d}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "entity_name string, entity_type string, description string, "
+        "chunk_id string, order_key string",
+    )
+    node = aggregate_entities(df, max_list_values=3, max_sources=4).head()
+    assert list(node.descriptions) == ["desc 00", "desc 01", "desc 02"]
+    assert node.n_sources == 10  # exact pre-cap count
+    # bounded sample keeps the ascending prefix + the exact max
+    assert node.source_ids[:4] == ["c-00", "c-01", "c-02", "c-03"]
+    assert node.source_ids[-1] == "c-09"

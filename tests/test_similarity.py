@@ -292,3 +292,39 @@ def test_int8_quantize_bounds_and_exactness(spark, emb):
 
     approx = int8_rescore_topk(emb, query, 5, rerank=10).collect()
     assert {r.id for r in approx} == {0, 1, 2, 3, 4}  # near-cluster
+
+
+def test_sidecar_walk_limited_to_table_levels(spark, emb, tmp_path):
+    """ADVICE r4: the _lsh_meta walk stops at the partition dir +
+    table root.  A stray sidecar at an ANCESTOR directory (belonging
+    to some other table) must not be attributed to a table without
+    its own sidecar — the read must raise 'unknown provenance', not
+    false-PASS validation against the wrong hyperplane family."""
+    import json as _json
+
+    root = tmp_path / "warehouse"
+    stray = root / similarity.LSH_META
+    stray.mkdir(parents=True)
+    (stray / "part-00000").write_text(
+        _json.dumps({"n_planes": 8, "dim": 16}) + "\n"
+    )
+    table = str(root / "ns" / "tbl")
+    # partitioned table WITHOUT its own sidecar
+    emb.withColumn(
+        "bucket", similarity.bucket_id_col(F.col("embedding"), 16, 8)
+    ).write.partitionBy("bucket").parquet(table)
+    pre = spark.read.parquet(table)
+    assert similarity.bucketed_meta_of(pre) is None
+    queries = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="unknown provenance"):
+        similarity.knn_join_bucketed(
+            queries, pre, 3, n_planes=8, probe_hamming=None, dim=16
+        )
+    # the explicit opt-in (now also reachable through knn_join's
+    # auto-dispatch pass-through) unblocks a known-good family
+    got = similarity.knn_join(
+        queries, pre, 3, broadcast_threshold=1, n_planes=8,
+        corpus_n_planes=8,
+    ).collect()
+    exact = similarity.knn_join(queries, emb, 3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))

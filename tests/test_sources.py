@@ -39,7 +39,21 @@ def test_read_corpus_parquet_json_csv(spark, tmp_path):
 
     _expect(read_corpus(spark, p + ".parquet", "parquet"))
     _expect(read_corpus(spark, p + ".json", "json"))
-    _expect(read_corpus(spark, p + ".csv", "csv"))
+    # quoted-newline content needs multiLine (non-splittable, opt-in);
+    # the splittable default must FAIL LOUDLY on such a corpus rather
+    # than silently corrupt rows (ADVICE r4: FAILFAST + default false)
+    _expect(read_corpus(spark, p + ".csv", "csv", csv_multiline=True))
+    with pytest.raises(Exception):
+        read_corpus(spark, p + ".csv", "csv").collect()
+
+    # newline-free CSV parses fine in the splittable default mode
+    flat = str(tmp_path / "flat.csv")
+    spark.createDataFrame(
+        [("repoC", "one.txt", "HEAD", "text", "single line only")],
+        REPOS_SCHEMA,
+    ).write.option("header", "true").option("escape", '"').csv(flat)
+    got = {r.path: r.content for r in read_corpus(spark, flat, "csv").collect()}
+    assert got == {"one.txt": "single line only"}
 
     # missing required column raises loudly, never nulls
     bad = str(tmp_path / "bad.parquet")
