@@ -110,7 +110,10 @@ def main() -> None:
         "decontaminate",
         "dedup_clusters",
         "dedup_clusters_star",
+        "dedup_pipeline",
+        "ann_recall",
         "kg_chunks_go",
+        "kg_chunks_jsonl",
         "kg_chunks_long",
         "kg_chunks_semantic",
         "kg_chunks_markdown",

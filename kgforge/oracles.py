@@ -498,6 +498,75 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
 """
     q["dedup_clusters_star"] = q["dedup_clusters"]
 
+    # Funnel-ordered dedup composition parity (__spark_entry__.
+    # q_dedup_pipeline): the duplicate-heavy corpus (text of
+    # doc_id % 311) -> sha-group representatives -> the near-dup
+    # chain OVER THE REPS ONLY (the funnel-order lesson) -> recursive
+    # closure -> per-doc keep decision.  Same minhash/LSH/Jaccard
+    # constants as the standalone rows.
+    q["dedup_pipeline"] = f"""
+WITH RECURSIVE src AS (
+  SELECT a.doc_id AS doc, b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 311
+),
+grp AS (
+  SELECT sha256(text) AS sha, MIN(doc) AS rep
+  FROM src GROUP BY sha256(text)
+),
+reps AS (
+  SELECT s.doc, s.text FROM src s JOIN grp g ON s.doc = g.rep
+),
+w AS (SELECT doc, {_WORDS_EXPR} AS ws FROM reps),
+sh AS (
+  SELECT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sig0 AS (
+  SELECT doc, {_minhash_sig_exprs(16)} FROM sh GROUP BY doc
+),
+sigb AS (SELECT doc, {band_exprs} FROM sig0),
+bands AS ({band_union.replace(" FROM sig", " FROM sigb")}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+shing AS (
+  SELECT doc, list_distinct(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM w WHERE len(ws) >= 3
+),
+nd AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN shing a ON c.doc_a = a.doc
+  JOIN shing b ON c.doc_b = b.doc
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        >= 0.5
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM nd
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM nd
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a
+),
+comp AS (
+  SELECT src AS doc, MIN(dst) AS cluster FROM reach GROUP BY src
+)
+SELECT s.doc, g.rep,
+       coalesce(c.cluster, g.rep) AS cluster,
+       (s.doc = coalesce(c.cluster, g.rep)) AS keep
+FROM src s
+JOIN grp g ON sha256(s.text) = g.sha
+LEFT JOIN comp c ON g.rep = c.doc
+"""
+
     q["embedding_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id AS id,
@@ -510,9 +579,12 @@ ORDER BY score DESC, id ASC LIMIT 10
     # int8 two-stage ANN parity (__spark_entry__.q_vector_int8_topk):
     # per-vector symmetric quantization (DOUBLE-promoted arithmetic on
     # both sides so float32 storage cannot flip a .5 rounding), integer
-    # cosine via list_inner_product (scales cancel), top-40 candidates
-    # by (rounded qscore, id), exact full-precision rescore top-10.
-    q["vector_int8_topk"] = """
+    # cosine via list_inner_product (scales cancel), top-``rerank``
+    # candidates by (rounded qscore, id), exact full-precision rescore
+    # top-10.  Parametrized on rerank so ann_recall can pin the SMALL-
+    # rerank approximate configuration against the same SQL.
+    def _int8_sql(rerank: int) -> str:
+        return f"""
 WITH base AS (
   SELECT vec_id, embedding,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -544,7 +616,7 @@ approx AS (
 ),
 cand AS (
   SELECT vec_id, embedding FROM approx
-  ORDER BY qscore DESC, vec_id ASC LIMIT 40
+  ORDER BY qscore DESC, vec_id ASC LIMIT {rerank}
 )
 SELECT vec_id AS id,
        round(CAST(list_cosine_similarity(embedding,
@@ -553,6 +625,8 @@ SELECT vec_id AS id,
 FROM cand
 ORDER BY score DESC, id ASC LIMIT 10
 """
+
+    q["vector_int8_topk"] = _int8_sql(40)
 
     # C2 Go chunker parity over the synthesized Go corpus
     # (__spark_entry__.q_kg_chunks_go): header = lines 1..(last import
@@ -1160,5 +1234,53 @@ ORDER BY score DESC, id ASC LIMIT 10
     # the identical graph as the direct pipeline (verified bit-equal),
     # so the S5/S9 graded row shares kg_entities' oracle.
     q["twophase_entities"] = q["kg_entities"]
+
+    # JSONL-routed chunking parity (__spark_entry__.q_kg_chunks_jsonl):
+    # the corpus round-trips through the JSONL wire format and must
+    # chunk bit-identically to the parquet path — the oracle is
+    # kg_chunks' SQL verbatim (content AND content_sha compared).
+    q["kg_chunks_jsonl"] = q["kg_chunks"]
+
+    # ANN recall parity (__spark_entry__.q_ann_recall): each
+    # approximate candidate set is reproduced exactly in SQL —
+    # probe_hamming=1 = the query bucket XOR each of the 9 masks
+    # {0, 1<<p}, IVF nprobe=2 reuses the vector_ivf_topk chain, int8
+    # rerank=12 reuses the parametrized int8 chain — then intersected
+    # with the brute-force top-10.
+    _probe1 = f"""
+WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_bucket_expr('v')} AS b FROM qv),
+cand AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {_bucket_expr('embedding')} IN (
+    SELECT xor((SELECT b FROM qb), m)
+    FROM (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128))
+         t(m))
+)
+SELECT vec_id AS id,
+       round(CAST(list_cosine_similarity(
+             embedding, (SELECT v FROM qv)) AS DOUBLE), 4) AS score
+FROM cand
+ORDER BY score DESC, id ASC LIMIT 10
+"""
+
+    def _recall_leg(config: str, approx_sql: str) -> str:
+        return f"""
+  SELECT '{config}' AS config, CAST(10 AS INTEGER) AS k,
+         CAST((SELECT COUNT(*) FROM ({approx_sql}) a
+               WHERE a.id IN
+                 (SELECT id FROM ({q["embedding_topk"]}) e))
+              AS BIGINT) AS hits
+"""
+
+    q["ann_recall"] = f"""
+SELECT config, k, hits, round(hits / 10.0, 4) AS recall FROM (
+{_recall_leg("lsh_probe1", _probe1)}
+  UNION ALL
+{_recall_leg("ivf_nprobe2", q["vector_ivf_topk"])}
+  UNION ALL
+{_recall_leg("int8_rerank12", _int8_sql(12))}
+)
+"""
 
     return q

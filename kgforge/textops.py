@@ -835,6 +835,92 @@ def dedup_clusters(
     )
 
 
+def dedup_pipeline(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    algorithm: str = "label",
+) -> DataFrame:
+    """The FULL funnel-ordered dedup composition as one operator —
+    the query a 100 TB production run actually executes (VERDICT r4
+    item 2; BENCH.md's 8x soak measured 385 s -> 87 s from running
+    the near-dup stages over exact-dedup representatives instead of
+    the raw corpus):
+
+    1. exact dedup: one sha256 hash-agg; the representative row
+       (``min(struct(doc, text))``) rides IN the aggregate, so no
+       join back to the corpus (the corpus_prep shape);
+    2. near-dup candidates over the REPS only: shingle -> MinHash ->
+       banded LSH (posting-capped with star fallback);
+    3. exact n-gram Jaccard verify of the candidates;
+    4. cluster closure (``algorithm``: label propagation or
+       large-star/small-star) over the verified pairs;
+    5. the keep/drop decision mapped back to EVERY original doc.
+
+    Returns (doc, rep, cluster, keep): ``rep`` = the doc's exact-
+    duplicate representative, ``cluster`` = the rep's near-dup
+    cluster id (component minimum), ``keep`` = this doc is the one
+    surviving row of its cluster.  Exactly one kept doc per cluster.
+
+    Scale shape: everything expensive runs over the deduplicated
+    reps; the only full-corpus operations are the sha aggregate and
+    the final map-back join (a join on the uniform sha key).  The
+    closure's internal persists cut the iterative lineage, so the
+    reps frame can be dropped before the final join materializes."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("text")
+    )
+    groups = base.groupBy(
+        F.sha2(F.col("text"), 256).alias("sha")
+    ).agg(F.min(F.struct("doc", "text")).alias("r"))
+    reps = groups.select(
+        F.col("r.doc").alias("doc"), F.col("r.text").alias("text")
+    ).persist()
+    sh = shingle_rows(reps, k, "doc", "text")
+    sig = minhash_signature_rows(sh, num_hashes)
+    cands = lsh_candidate_pairs(lsh_bands(sig, bands, rows_per_band))
+    pairs = ngram_jaccard_pairs(
+        reps, k, threshold, candidates=cands,
+        id_col="doc", text_col="text",
+    )
+    if algorithm == "star":
+        comps = connected_components_star(pairs)
+    elif algorithm == "label":
+        comps = connected_components(pairs)
+    else:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r} (label | star)"
+        )
+    # comps is fully materialized into the closure's own persisted
+    # frames at this point; the final map-back only needs the (cheap)
+    # sha aggregate and comps, so free the reps cache now.
+    reps.unpersist()
+    doc_rep = base.select(
+        "doc", F.sha2(F.col("text"), 256).alias("sha")
+    ).join(
+        groups.select("sha", F.col("r.doc").alias("rep")), "sha"
+    )
+    return doc_rep.join(
+        comps.select(
+            F.col("doc").alias("rep"), F.col("cluster")
+        ),
+        "rep",
+        "left",
+    ).select(
+        "doc",
+        "rep",
+        F.coalesce("cluster", F.col("rep")).alias("cluster"),
+        (
+            F.col("doc") == F.coalesce("cluster", F.col("rep"))
+        ).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Secret / PII scrubbing
 # ---------------------------------------------------------------------------
