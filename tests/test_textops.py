@@ -500,3 +500,31 @@ def test_connected_components_single_execution_of_pairs(spark):
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
     }
     assert acc.value == 3  # 3 pair rows, each crossed Python ONCE
+
+
+def test_redact_secrets_overlap_count_contract(spark):
+    """VERDICT r4 note: counts are per-class matches against the
+    ORIGINAL text; replacements chain in SECRET_PATTERNS order, so
+    the EARLIER pattern (email before bearer) wins an overlapping
+    span — both classes are counted, one replacement is written."""
+    docs = spark.createDataFrame(
+        [
+            (1, "token Bearer abc.def-GHI_jkl=0123456789 trailing"),
+            # the bearer tail parses as an email: spans overlap
+            (2, "auth Bearer aaaaaaaaaaaa.user@example.comtail done"),
+            (3, "plain user@example.com only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc: r for r in textops.redact_secrets(docs).collect()}
+    assert out[1].n_bearer_token == 1 and out[1].n_email == 0
+    # overlapping: both classes counted on the original text...
+    assert out[2].n_bearer_token == 1 and out[2].n_email == 1
+    # ...but the email replacement (earlier in the chain) consumed
+    # the overlap — one replacement token, bare 'Bearer' keyword left
+    assert out[2].clean_text == (
+        "auth Bearer [REDACTED:email] done"
+    )
+    assert "example.com" not in out[2].clean_text
+    assert out[3].n_email == 1
+    assert out[3].clean_text == "plain [REDACTED:email] only"
