@@ -252,6 +252,40 @@ def q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (top-unigram /
+    top-bigram coverage, duplicated-trigram fraction) — one explode
+    carrying all three gram orders, two partial-agg shuffles, no
+    UDF.  The quality gate that runs BEFORE dedup in a production
+    funnel."""
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style span-level exact dedup graded: every distinct
+    10-word span keeps only its globally first occurrence (ascending
+    (doc, span_idx)) and documents are reassembled from surviving
+    spans — groupBy(span).min(struct) + join back + one per-doc
+    reassembly, the bounded-state shape that survives hot spans at
+    100 TB.  The oracle reproduces keep-first with a row_number
+    window, so n_spans/n_kept/text_kept are all hash-exact."""
+    return textops.span_dedup(_docs(spark, sf_dir))
+
+
+def q_entity_linking(spark, sf_dir):
+    """Entity LINKING graded (north_rule surface): near-duplicate
+    entity names from the real merged node table fold into canonical
+    ids via shared-bigram blocking -> exact bigram-Jaccard verify
+    (>= 0.4) -> connected-component closure — the same candidate/
+    verify/closure discipline as the document dedup family, on the
+    (much smaller) entity plane.  The oracle mirrors blocking +
+    Jaccard and closes with a recursive CTE, so the full
+    entity->canonical mapping is hash-exact."""
+    from kgforge.linking import link_entities
+
+    return link_entities(_nodes(spark, sf_dir))
+
+
 def q_redact_secrets(spark, sf_dir):
     """Secret/PII scrubbing graded: deterministic fake credentials
     (md5-derived AWS key id, email, bearer token, PEM header) are
@@ -1146,6 +1180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "span_dedup": q_span_dedup,
+        "entity_linking": q_entity_linking,
         "redact_secrets": q_redact_secrets,
         "corpus_prep": q_corpus_prep,
         "bm25_search": q_bm25_search,

@@ -91,6 +91,9 @@ def main() -> None:
         "language_id",
         "token_stats",
         "fingerprint",
+        "repetition_stats",
+        "span_dedup",
+        "entity_linking",
         "redact_secrets",
         "corpus_prep",
         "bm25_search",

@@ -1,0 +1,161 @@
+"""Entity linking: fold near-duplicate entity NAMES into one
+canonical node id.
+
+The reference merges entities only on exact normalized-name equality
+(uppercase + trim, /root/reference/insert.go:229-244 via
+`strings.ToUpper`); two mentions that differ by a typo, hyphen, or
+inflection stay separate nodes forever.  At 10^12-file scale the
+same identifier surfaces in thousands of spelling variants, so a
+KG-construction pipeline needs a linking pass ON TOP of exact
+canonicalization (north_rule: "entity linking" is named surface).
+
+Algorithm — the standard blocking + verify + closure shape, all
+pure DataFrame ops:
+
+1. candidate pairs by SHARED CHARACTER BIGRAM (blocking): explode
+   each name's distinct lowercase bigrams, self-join on the bigram.
+   Names sharing no bigram can't clear any useful Jaccard threshold,
+   so blocking loses nothing above ~0.15.  Over-common bigrams
+   ("er", "in" ... at real scale) are posting lists that would go
+   quadratic — they are dropped by the same
+   :func:`kgforge.textops._cap_posting_lists` cap the LSH family
+   uses (a dropped gram only thins the candidate set; the verify
+   step keeps precision exact).
+2. verify with exact bigram Jaccard >= ``threshold`` (distinct-gram
+   counts ride the join — no re-tokenization).
+3. transitive closure via
+   :func:`kgforge.textops.connected_components` (min-label;
+   at 10^12-entity scale swap in ``connected_components_star`` —
+   identical pair contract).
+4. every entity maps to its cluster-minimum name as
+   ``canonical_id``; singletons map to themselves.
+
+One explode + three shuffles (gram join, pair agg, closure rounds
+on a graph that is TINY relative to the corpus — entities, not
+documents).  No UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgforge.textops import (
+    DEFAULT_POSTING_CAP,
+    _cap_posting_lists,
+    connected_components,
+)
+
+
+def bigram_set_col(name_col: str = "name"):
+    """DISTINCT lowercase character bigrams of a name, as an array
+    column.  Single-char names have no bigrams (they can only ever
+    be singleton clusters)."""
+    lname = F.lower(F.col(name_col))
+    return F.when(
+        F.length(lname) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lname) - 1),
+                lambda i: lname.substr(i, F.lit(2)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def name_bigram_rows(
+    names: DataFrame, name_col: str = "name"
+) -> DataFrame:
+    """(name) -> exploded (name, gram, n_grams) rows over
+    :func:`bigram_set_col`."""
+    with_grams = names.select(
+        F.col(name_col).alias("name"),
+        bigram_set_col(name_col).alias("_grams"),
+    )
+    return with_grams.select(
+        "name",
+        F.size("_grams").alias("n_grams"),
+        F.explode("_grams").alias("gram"),
+    )
+
+
+def link_entities(
+    nodes: DataFrame,
+    id_col: str = "entity_id",
+    threshold: float = 0.4,
+    max_posting: int | None = DEFAULT_POSTING_CAP,
+) -> DataFrame:
+    """Entity-linking pass: nodes -> (entity_id, canonical_id).
+
+    ``threshold`` is bigram Jaccard on the lowercase name;
+    ``max_posting`` drops blocking grams shared by more than that
+    many names (stopword-gram semantics — recall-only effect,
+    verified pairs stay exact).
+    """
+    names = nodes.select(F.col(id_col).alias("name")).distinct()
+    grams = name_bigram_rows(names)
+    # The cap thins BLOCKING only: a pair whose every shared gram is
+    # over-cap is never generated (recall loss, documented), but any
+    # surviving candidate is verified on the FULL gram sets below, so
+    # precision — and the Jaccard value itself — stays exact.
+    capped = _cap_posting_lists(grams, ["gram"], max_posting)
+    cand = (
+        capped.alias("a")
+        .join(capped.alias("b"), "gram")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    # exact verify: full distinct-bigram sets (tiny arrays — bounded
+    # by name length) joined back per side
+    gram_sets = names.select(
+        "name", bigram_set_col("name").alias("gset")
+    )
+    pairs = (
+        cand.join(
+            gram_sets.select(
+                F.col("name").alias("name_a"),
+                F.col("gset").alias("ga"),
+            ),
+            "name_a",
+        )
+        .join(
+            gram_sets.select(
+                F.col("name").alias("name_b"),
+                F.col("gset").alias("gb"),
+            ),
+            "name_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("name_a", "name_b", "jaccard")
+    )
+    if pairs.isEmpty():
+        # no links at all — closure would see an empty edge set
+        return names.select(
+            F.col("name").alias("entity_id"),
+            F.col("name").alias("canonical_id"),
+        )
+    labels = connected_components(pairs, "name_a", "name_b")
+    out = names.join(
+        labels.select(
+            F.col("doc").alias("name"),
+            F.col("cluster").alias("canonical_id"),
+        ),
+        "name",
+        "left",
+    ).select(
+        F.col("name").alias("entity_id"),
+        F.coalesce("canonical_id", F.col("name")).alias("canonical_id"),
+    )
+    # labels stays cached (connected_components' contract) until the
+    # caller materializes `out`; the session memo / caller owns the
+    # unpersist like the other CC consumers.
+    return out

@@ -316,6 +316,145 @@ SELECT doc_id AS doc,
 FROM documents
 """
 
+    # Repetition-stats parity (__spark_entry__.q_repetition_stats):
+    # same tall (doc, k, gram) frame — 1/2/3-grams over words — same
+    # two-level aggregation; fractions are single IEEE divisions of
+    # identical integer operands, so no rounding is needed.
+    q["repetition_stats"] = f"""
+WITH w AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+),
+tall AS (
+  SELECT doc, 1 AS k, ws[CAST(i AS INT)] AS gram
+  FROM w, unnest(range(1, len(ws) + 1)) AS t(i) WHERE len(ws) >= 1
+  UNION ALL
+  SELECT doc, 2, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+  FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+  UNION ALL
+  SELECT doc, 3, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+              || ' ' || ws[CAST(i AS INT) + 2]
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+),
+counts AS (
+  SELECT doc, k, gram, COUNT(*) AS c FROM tall GROUP BY doc, k, gram
+),
+per_kind AS (
+  SELECT doc, k, MAX(c) AS mx, SUM(c) AS tot,
+         COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup
+  FROM counts GROUP BY doc, k
+),
+stats AS (
+  SELECT doc,
+         MAX(CASE WHEN k = 1 THEN tot END) AS n_words,
+         MAX(CASE WHEN k = 1 THEN CAST(mx AS DOUBLE) / tot END) AS tu,
+         MAX(CASE WHEN k = 2 THEN CAST(mx AS DOUBLE) / tot END) AS tb,
+         MAX(CASE WHEN k = 3 THEN CAST(dup AS DOUBLE) / tot END) AS dt
+  FROM per_kind GROUP BY doc
+)
+SELECT d.doc_id AS doc,
+       CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+       COALESCE(s.tu, 0.0) AS top_unigram_frac,
+       COALESCE(s.tb, 0.0) AS top_bigram_frac,
+       COALESCE(s.dt, 0.0) AS dup_trigram_frac
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc
+"""
+
+    # Span-dedup parity (__spark_entry__.q_span_dedup): keep-first is
+    # min(struct(doc, span_idx)) on the Spark side and a row_number
+    # window ordered (doc, span_idx) here — identical total order.
+    q["span_dedup"] = f"""
+WITH w AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+),
+spans AS (
+  SELECT doc, CAST(i AS INT) AS span_idx,
+         array_to_string(
+           list_slice(ws, CAST(i AS INT) * 10 + 1,
+                          CAST(i AS INT) * 10 + 10), ' ') AS span
+  FROM w, unnest(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+  WHERE len(ws) > 0
+),
+ranked AS (
+  SELECT doc, span_idx, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc, span_idx) AS rn
+  FROM spans
+),
+keptagg AS (
+  SELECT doc, COUNT(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY span_idx) AS text_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc
+)
+SELECT w.doc AS doc,
+       CAST(CASE WHEN len(w.ws) > 0 THEN ceil(len(w.ws) / 10.0)
+                 ELSE 0 END AS BIGINT) AS n_spans,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.text_kept, '') AS text_kept
+FROM w LEFT JOIN keptagg k ON w.doc = k.doc
+"""
+
+    # Entity-linking parity (__spark_entry__.q_entity_linking): the
+    # graded node set is the merged entity table (distinct uppercase
+    # long words), candidates come from shared lowercase character
+    # bigrams (posting lists over the cap dropped, mirroring
+    # _cap_posting_lists), links need bigram Jaccard >= 0.4, and the
+    # transitive closure is a recursive CTE taking the component
+    # minimum; singletons map to themselves.
+    q["entity_linking"] = f"""
+WITH RECURSIVE ents AS (
+  SELECT DISTINCT upper(w) AS name
+  FROM documents, unnest(list_distinct(list_filter(
+         string_split_regex(lower(text), '[^a-z]+'),
+         x -> x <> '' AND length(x) >= {HEURISTIC_MIN_WORD_LEN}
+       ))) AS t(w)
+),
+gramlists AS (
+  SELECT name,
+         list_distinct(list_transform(
+           range(1, length(lower(name))),
+           i -> substr(lower(name), CAST(i AS INT), 2))) AS gl
+  FROM ents WHERE length(name) >= 2
+),
+gr AS (
+  SELECT name, len(gl) AS n_grams, gram
+  FROM gramlists, unnest(gl) AS t(gram)
+),
+capped AS (
+  SELECT name, n_grams, gram FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY gram) AS np FROM gr
+  ) WHERE np <= 10000
+),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM capped a JOIN capped b
+    ON a.gram = b.gram AND a.name < b.name
+),
+links AS (
+  SELECT name_a, name_b
+  FROM cand c
+  JOIN gramlists la ON c.name_a = la.name
+  JOIN gramlists lb ON c.name_b = lb.name
+  WHERE CAST(len(list_intersect(la.gl, lb.gl)) AS DOUBLE)
+        / len(list_distinct(list_concat(la.gl, lb.gl))) >= 0.4
+),
+e AS (
+  SELECT name_a AS a, name_b AS b FROM links
+  UNION
+  SELECT name_b AS a, name_a AS b FROM links
+),
+reach(src, dst) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a
+),
+comp AS (
+  SELECT src AS name, MIN(dst) AS canonical FROM reach GROUP BY src
+)
+SELECT en.name AS entity_id,
+       COALESCE(c.canonical, en.name) AS canonical_id
+FROM ents en LEFT JOIN comp c ON en.name = c.name
+"""
+
     # BM25 parity (__spark_entry__.q_bm25_search): identical formula,
     # k1=1.2 b=0.75, scores rounded to 4 decimals (per-doc term-sum
     # float-order differences are ~1e-16, far under the rounding).

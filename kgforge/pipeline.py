@@ -52,6 +52,12 @@ class PipelineConfig:
     chunk_max_tokens: int = 1024
     chunk_overlap_tokens: int = 128
     max_summary_tokens: int = mrg.DEFAULT_MAX_SUMMARY_TOKENS
+    # per-key reducer-state caps for the merge reduce (None = module
+    # defaults).  Coupled to max_summary_tokens — see
+    # merge.min_list_cap_for_summary.  Exposed mainly so the hot-key
+    # benchmark can A/B bounded vs effectively-unbounded state.
+    merge_max_list_values: Optional[int] = None
+    merge_max_sources: Optional[int] = None
     with_embeddings: bool = True
     # observe()-based metrics piggyback counts on write actions (one
     # fewer job each) but the observation listener never fires for
@@ -214,13 +220,17 @@ def build_graph(
     """
     config = config or PipelineConfig()
     nodes = mrg.aggregate_entities(
-        ent_mentions, existing_nodes, now=config.now
+        ent_mentions, existing_nodes, now=config.now,
+        max_list_values=config.merge_max_list_values,
+        max_sources=config.merge_max_sources,
     )
     nodes = mrg.apply_description_summary(
         nodes, "entity_id", config.max_summary_tokens
     )
     edges = mrg.aggregate_relationships(
-        rel_mentions, existing_edges, now=config.now
+        rel_mentions, existing_edges, now=config.now,
+        max_list_values=config.merge_max_list_values,
+        max_sources=config.merge_max_sources,
     )
     edges = mrg.apply_description_summary(
         edges,

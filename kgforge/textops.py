@@ -1226,3 +1226,174 @@ def winnow_near_dup(
         .select("doc_a", "doc_b", "shared", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Within-document repetition signals, the Gopher rules (Rae et
+    al. 2021 §A1.1) re-expressed for flat text: the fraction of
+    tokens covered by the most frequent unigram / bigram, and the
+    fraction of trigrams occurring more than once.  High values mark
+    boilerplate / template / generated text that a training-data
+    pipeline drops before dedup even runs.
+
+    Shape at 100 TB: ONE explode of a per-doc tall gram frame (all
+    three gram orders in one pass via flattened struct arrays — no
+    per-kind re-scan), then two partial-aggregated shuffles keyed on
+    (doc, kind, gram) and (doc, kind).  Pure JVM expressions; no UDF,
+    no window over the full corpus.
+    """
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+
+    def gram_structs(k: int):
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        gram = lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(k)]
+        )
+        return F.when(
+            n >= k,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.lit(k).alias("k"), gram(i).alias("gram")
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<k:int,gram:string>>")
+        )
+
+    tall = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.flatten(
+                F.array(gram_structs(1), gram_structs(2), gram_structs(3))
+            )
+        ).alias("g"),
+    ).select("doc", F.col("g.k").alias("k"), F.col("g.gram").alias("gram"))
+    counts = tall.groupBy("doc", "k", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_kind = counts.groupBy("doc", "k").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("dup"),
+    )
+    stats = per_kind.groupBy("doc").agg(
+        F.max(F.when(F.col("k") == 1, F.col("tot"))).alias("n_words"),
+        F.max(
+            F.when(F.col("k") == 1, F.col("mx") / F.col("tot"))
+        ).alias("top_unigram_frac"),
+        F.max(
+            F.when(F.col("k") == 2, F.col("mx") / F.col("tot"))
+        ).alias("top_bigram_frac"),
+        F.max(
+            F.when(F.col("k") == 3, F.col("dup") / F.col("tot"))
+        ).alias("dup_trigram_frac"),
+    )
+    # docs too short for a gram order (or empty) still get a row
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(stats, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("top_unigram_frac", F.lit(0.0)).alias(
+                "top_unigram_frac"
+            ),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (C4-style keep-first substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style span deduplication (Raffel et al. 2020 §2.2, which
+    drops repeated three-sentence spans corpus-wide): split each
+    document into non-overlapping ``span_words``-word spans, keep
+    only the globally FIRST occurrence of every distinct span (order:
+    ascending (doc, span_idx)), and reassemble what survives.
+    Returns (doc, n_spans, n_kept, text_kept) — a full-duplicate doc
+    keeps nothing and comes back with ``n_kept=0, text_kept=''``.
+
+    Shape at 100 TB: span explode -> groupBy(span).min(struct(doc,
+    span_idx)) (partial-agg combine absorbs hot spans map-side — the
+    min-struct is O(1) reducer state per span, the same bounded-state
+    argument as exact_dedup's representative) -> equi-join back on
+    span (AQE reuses the exchange) -> one groupBy(doc) reassembly.
+    No window over the corpus, no driver state.
+    """
+    W = span_words
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    span_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(W)).cast("int") - 1),
+            lambda i: F.array_join(
+                F.slice(ws, i * W + 1, W), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(span_arr).alias("span_idx", "span"),
+    )
+    firsts = spans.groupBy("span").agg(
+        F.min(F.struct("doc", "span_idx")).alias("first")
+    )
+    kept = (
+        spans.join(firsts, "span")
+        .filter(
+            (F.col("doc") == F.col("first.doc"))
+            & (F.col("span_idx") == F.col("first.span_idx"))
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("span_idx", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.when(n > 0, F.ceil(n / F.lit(W)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return base.join(kept, "doc", "left").select(
+        "doc",
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )

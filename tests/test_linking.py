@@ -1,0 +1,59 @@
+"""Entity linking: blocking + bigram-Jaccard verify + closure."""
+
+from pyspark.sql import functions as F
+
+from kgforge import linking
+
+
+def _link(spark, names, **kw):
+    nodes = spark.createDataFrame(
+        [(n,) for n in names], "entity_id string"
+    )
+    return {
+        r.entity_id: r.canonical_id
+        for r in linking.link_entities(nodes, **kw).collect()
+    }
+
+
+def test_link_entities_clusters_and_singletons(spark):
+    # COLOUR/COLOR: grams co,ol,lo,ou,ur vs co,ol,lo,or ->
+    # inter 3 (co,ol,lo), union 6 -> 0.5
+    out = _link(
+        spark,
+        ["COLOR", "COLOUR", "TABLE", "X", "INDEX"],
+        threshold=0.5,
+    )
+    assert out["COLOR"] == out["COLOUR"] == "COLOR"
+    assert out["TABLE"] == "TABLE"
+    assert out["X"] == "X"          # single char: no bigrams at all
+    assert out["INDEX"] == "INDEX"
+
+
+def test_link_entities_transitive_closure(spark):
+    # A-B and B-C similar, A-C not directly: one cluster via closure
+    out = _link(
+        spark,
+        ["ABCDEF", "ABCDEX", "ABCXEX", "QQQQQQ"],
+        threshold=0.4,
+    )
+    assert out["ABCDEF"] == out["ABCDEX"] == out["ABCXEX"] == "ABCDEF"
+    assert out["QQQQQQ"] == "QQQQQQ"
+
+
+def test_link_entities_no_links_at_all(spark):
+    out = _link(spark, ["AAAA", "BBBB"], threshold=0.4)
+    assert out == {"AAAA": "AAAA", "BBBB": "BBBB"}
+
+
+def test_link_entities_posting_cap_thins_recall_only(spark):
+    # a gram shared by MORE than max_posting names is dropped as a
+    # blocking key; pairs that still share an under-cap gram survive
+    names = [f"ZZ{i:03d}" for i in range(5)] + ["ZZAB1", "ZZAB2"]
+    # every name shares gram 'zz'; cap of 3 drops that posting list.
+    # ZZAB1/ZZAB2 still share za,ab,(b1|b2 differ) -> survive via
+    # 'za'/'ab' (posting size 2 each)
+    out = _link(spark, names, threshold=0.4, max_posting=3)
+    assert out["ZZAB1"] == out["ZZAB2"]
+    # the ZZnnn family only ever shared the dropped 'zz' gram at
+    # >= 0.4... verify they are NOT all one cluster
+    assert len({out[n] for n in names}) > 1

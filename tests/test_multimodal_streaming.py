@@ -412,7 +412,7 @@ def test_real_gif_video_metadata_through_mapinpandas(spark):
         decode_gif(b"RIFF" + b"\x00" * 40)
 
 
-def _tiny_gif(width, height, indices, palette, mcs=2):
+def _lzw_gif(width, height, indices, palette, mcs=2):
     """Handcraft a GIF89a with one non-interlaced frame whose pixel
     data is LZW-encoded by a minimal spec-conformant encoder (emits
     literal codes only, CLEAR whenever the table would grow past the
@@ -480,7 +480,7 @@ def test_gif_first_frame_pixel_decode():
     # 17 pixels crosses the 3-bit -> 4-bit code-width boundary
     # (table: 6 initial + appends at codes 6 and 7 -> widen at 8)
     indices = [1, 0, 0, 1, 2, 3, 0, 1, 2, 2, 1, 0, 3, 3, 1, 2, 0]
-    gif = _tiny_gif(17, 1, indices, palette)
+    gif = _lzw_gif(17, 1, indices, palette)
     # container walk still agrees on metadata
     w, h, n_frames, _ = decode_gif(gif)
     assert (w, h, n_frames) == (17, 1, 1)
@@ -491,7 +491,7 @@ def test_gif_first_frame_pixel_decode():
     # 2x2 with repetition (dictionary entries actually referenced by
     # a conformant encoder would also decode; literals path is the
     # floor) and a different palette order
-    gif2 = _tiny_gif(2, 2, [3, 2, 1, 0], palette)
+    gif2 = _lzw_gif(2, 2, [3, 2, 1, 0], palette)
     assert decode_gif_first_frame(gif2)[2] == [
         (9, 9, 9), (0, 0, 255), (0, 255, 0), (255, 0, 0)
     ]
@@ -499,7 +499,7 @@ def test_gif_first_frame_pixel_decode():
     # interlaced flag -> honest NotImplementedError
     import pytest as _pytest
 
-    interlaced = bytearray(_tiny_gif(2, 2, [0, 1, 2, 3], palette))
+    interlaced = bytearray(_lzw_gif(2, 2, [0, 1, 2, 3], palette))
     # image descriptor packed byte: signature(6)+lsd(7)+gct(24 bytes
     # for mcs=2 pad) ... locate 0x2c and flip the interlace bit
     pos = interlaced.index(0x2C)

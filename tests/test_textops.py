@@ -528,3 +528,58 @@ def test_redact_secrets_overlap_count_contract(spark):
     assert "example.com" not in out[2].clean_text
     assert out[3].n_email == 1
     assert out[3].clean_text == "plain [REDACTED:email] only"
+
+
+def test_repetition_stats_gopher_signals(spark):
+    """Hand-checkable repetition fractions: top-unigram/bigram
+    coverage and duplicated-trigram mass, with short-doc and
+    empty-doc edge cases (missing gram orders coalesce to 0.0)."""
+    docs = spark.createDataFrame(
+        [
+            # 6 words: "a b a b a c" -> top uni a:3/6; bigrams
+            # [a b, b a, a b, b a, a c] -> top 2/5; trigrams
+            # [a b a, b a b, a b a, b a c] -> dup mass 2/4
+            (1, "a b a b a c"),
+            (2, "one two"),        # no trigrams, 1 bigram
+            (3, "word"),           # unigrams only
+            (4, "!!!"),            # zero words
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc: r for r in textops.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1.n_words == 6
+    assert abs(r1.top_unigram_frac - 3 / 6) < 1e-12
+    assert abs(r1.top_bigram_frac - 2 / 5) < 1e-12
+    assert abs(r1.dup_trigram_frac - 2 / 4) < 1e-12
+    assert out[2].n_words == 2 and out[2].dup_trigram_frac == 0.0
+    assert out[2].top_bigram_frac == 1.0
+    assert out[3].top_unigram_frac == 1.0
+    assert out[3].top_bigram_frac == 0.0
+    assert out[4].n_words == 0 and out[4].top_unigram_frac == 0.0
+
+
+def test_span_dedup_keep_first_and_reassembly(spark):
+    """C4-style span dedup: global keep-first by (doc, span_idx),
+    in-doc repeats dropped too, full-duplicate docs come back
+    empty, and survivors reassemble in original span order."""
+    span = lambda ch: " ".join([ch] * 10)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span('a')} {span('b')}"),
+            (2, f"{span('b')} {span('c')}"),   # b already seen in doc 1
+            (3, f"{span('a')} {span('b')}"),   # full duplicate of doc 1
+            (4, f"{span('d')} {span('d')} tail words"),  # in-doc repeat
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc: r for r in textops.span_dedup(docs).collect()}
+    assert (out[1].n_spans, out[1].n_kept) == (2, 2)
+    assert (out[2].n_spans, out[2].n_kept) == (2, 1)
+    assert out[2].text_kept == span("c")
+    assert (out[3].n_spans, out[3].n_kept) == (2, 0)
+    assert out[3].text_kept == ""
+    # doc 4: spans are [d*10, d*10, 'tail words'] -> second d-span
+    # is a later occurrence of the first
+    assert (out[4].n_spans, out[4].n_kept) == (3, 2)
+    assert out[4].text_kept == f"{span('d')} tail words"

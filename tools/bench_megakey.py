@@ -1,0 +1,167 @@
+"""Mega-entity (hot-key) ingest leg (VERDICT r4 item 6).
+
+Synthesizes an 8x-scale corpus (vs the sf0.1 harness: 40k files) in
+which ONE entity appears in ~50% of all chunks — every sentence of
+every even-hashed file mentions the same identifier — then runs the
+full compute pipeline (fused chunk+extract UDF -> parse -> explode ->
+canonicalize -> two-shuffle bounded merge) twice in fresh JVMs:
+
+  bounded    merge caps at their defaults (1024 list values / sources
+             per key per reducer; exact count/min/max riders)
+  unbounded  caps raised to 2^30 — the round-3 shape, where the hot
+             key's full description/source lists materialize in one
+             reducer's window state
+
+and reports wall time plus peak resident set of the whole process
+tree (python driver + JVM + python workers), sampled from /proc.
+The point is PEAK-STABLE COMPLETION: the bounded plan's peak memory
+must not grow with the hot key's mention count, while the unbounded
+plan's does (at 10^9 mentions it would OOM; at this scale it is
+merely measurably fatter and slower).
+
+Usage: python tools/bench_megakey.py [n_files] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+n_files = int(sys.argv[1])
+cpus = sys.argv[2]
+bounded = sys.argv[3] == "bounded"
+
+from kgforge.session import build_session
+from kgforge.corpus import synthesize_corpus
+from pyspark.sql import functions as F
+
+spark = build_session(
+    "megakey", master=f"local[{cpus}]",
+    shuffle_partitions=max(int(cpus), 8),
+    extra_conf={
+        "spark.driver.extraJavaOptions": "-Xms16g",
+        "spark.driver.memory": "24g",
+    },
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# all-text corpus; even-hashed files get EVERY sentence's middle
+# identifier rewritten to the one hot entity -> it appears in ~50%
+# of chunks corpus-wide, with a distinct co-occurrence context per
+# chunk (distinct descriptions, distinct chunk source_ids).
+corpus = synthesize_corpus(
+    spark, n_files=n_files, go_ratio=0.0,
+    partitions=int(cpus) * 4,
+)
+hot = F.pmod(F.xxhash64("path"), F.lit(2)) == 0
+corpus = corpus.withColumn(
+    "content",
+    F.when(
+        hot,
+        F.regexp_replace(
+            "content", r"feeds the [a-z]+ operator",
+            "feeds the megahotentity operator",
+        ),
+    ).otherwise(F.col("content")),
+).persist()
+n = corpus.count()
+
+from kgforge.pipeline import (PipelineConfig, extract_exploded,
+                              parse_extraction, mentions_of,
+                              build_graph)
+
+cfg = PipelineConfig() if bounded else PipelineConfig(
+    merge_max_list_values=1 << 30, merge_max_sources=1 << 30,
+)
+
+
+def job(repos):
+    exploded, _rejects = extract_exploded(repos, cfg)
+    extracted = parse_extraction(exploded)
+    ents, rels = mentions_of(extracted, cfg)
+    nodes, edges = build_graph(ents, rels, config=cfg)
+    row = (
+        nodes.select(
+            F.count("*").alias("n_nodes"),
+            F.max(F.col("n_sources")).alias("max_n_sources"),
+        ).collect()[0]
+    )
+    n_edges = edges.count()
+    return {"n_nodes": row.n_nodes, "n_edges": n_edges,
+            "hot_key_sources": row.max_n_sources}
+
+# warm-up on a ~4% sample (fork+JIT), then the timed run
+job(corpus.filter(F.pmod(F.xxhash64("path"), F.lit(25)) == 0))
+spark.catalog.clearCache()
+corpus = corpus.persist(); corpus.count()
+
+t0 = time.perf_counter()
+m = job(corpus)
+elapsed = time.perf_counter() - t0
+print(json.dumps({
+    "mode": "bounded" if bounded else "unbounded",
+    "n_files": n, "elapsed_sec": round(elapsed, 2),
+    "files_per_sec": round(n / elapsed, 2), **m,
+}))
+"""
+
+
+def _tree_rss_kib(pid: int) -> int:
+    """Sum VmRSS over pid and all /proc descendants."""
+    children: dict[int, list[int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                ppid = int(fh.read().split(") ")[-1].split()[1])
+            children.setdefault(ppid, []).append(int(p))
+        except OSError:
+            continue
+    total, stack = 0, [pid]
+    while stack:
+        q = stack.pop()
+        try:
+            with open(f"/proc/{q}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        total += int(line.split()[1])
+                        break
+        except OSError:
+            pass
+        stack.extend(children.get(q, []))
+    return total
+
+
+def run_leg(n_files: int, cpus: int, mode: str) -> dict:
+    proc = subprocess.Popen(
+        [sys.executable, "-c", WORKER, str(n_files), str(cpus), mode],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    peak = 0
+    while proc.poll() is None:
+        peak = max(peak, _tree_rss_kib(proc.pid))
+        time.sleep(0.5)
+    out = proc.stdout.read()
+    line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    rec["peak_rss_gib"] = round(peak / (1024 * 1024), 2)
+    return rec
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    for mode in ("bounded", "unbounded", "bounded", "unbounded"):
+        rec = run_leg(n_files, cpus, mode)
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
