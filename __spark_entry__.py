@@ -389,6 +389,22 @@ def q_ngram_jaccard(spark, sf_dir):
     return _dedup_pairs(spark, sf_dir)
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Delta-vs-corpus near-dup graded — the daily-ingest shape: a
+    re-keyed delta batch (every 7th doc, ids offset by 100000, so
+    each delta doc is an exact dup of its corpus source) is band-
+    joined ASYMMETRICALLY against the full corpus (corpus postings
+    cap to their min-doc rep over the posting cap) and verified with
+    exact n-gram Jaccard.  The oracle mirrors both sides' signatures,
+    the one-sided cap, and the verify, so every (delta, corpus,
+    jaccard) pair is hash-exact."""
+    docs = _docs(spark, sf_dir)
+    delta = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return textops.incremental_near_dup(delta, docs)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination graded: every 50th document plays
     the evaluation set; corpus docs sharing any 8-word n-gram with it
@@ -1190,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "incremental_near_dup": q_incremental_near_dup,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,

@@ -110,6 +110,7 @@ def main() -> None:
         "multimodal_decode",
         "multimodal_feature_topk",
         "ngram_jaccard",
+        "incremental_near_dup",
         "decontaminate",
         "dedup_clusters",
         "dedup_clusters_star",

@@ -587,6 +587,76 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
 """
 
+    # Incremental near-dup parity (__spark_entry__.
+    # q_incremental_near_dup): delta = every 7th doc re-keyed
+    # (+100000); same 16-hash md5 MinHash + 4x4 band buckets on BOTH
+    # sides; corpus postings over the cap collapse to their min-doc
+    # rep; asymmetric band equi-join; exact shingle-Jaccard verify.
+    cband_union = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, bucket_{b} AS bucket FROM csig"
+        for b in range(4)
+    )
+    dband_union = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band, bucket_{b} AS bucket FROM dsig"
+        for b in range(4)
+    )
+    q["incremental_near_dup"] = f"""
+WITH cw AS (
+  SELECT doc_id AS doc, {_WORDS_EXPR} AS ws FROM documents
+),
+dw AS (
+  SELECT doc_id + 100000 AS doc, {_WORDS_EXPR} AS ws
+  FROM documents WHERE doc_id % 7 = 0
+),
+cshr AS (
+  SELECT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM cw, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+),
+dshr AS (
+  SELECT doc, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM dw, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+),
+csig0 AS (SELECT doc, {_minhash_sig_exprs(16)} FROM cshr GROUP BY doc),
+dsig0 AS (SELECT doc, {_minhash_sig_exprs(16)} FROM dshr GROUP BY doc),
+csig AS (SELECT doc, {band_exprs} FROM csig0),
+dsig AS (SELECT doc, {band_exprs} FROM dsig0),
+cbands AS ({cband_union}),
+dbands AS ({dband_union}),
+cbands2 AS (
+  SELECT doc, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS np,
+           MIN(doc) OVER (PARTITION BY band, bucket) AS rep
+    FROM cbands
+  ) WHERE np <= 10000 OR doc = rep
+),
+cand AS (
+  SELECT DISTINCT d.doc AS doc_delta, c.doc AS doc_corpus
+  FROM dbands d JOIN cbands2 c
+    ON d.band = c.band AND d.bucket = c.bucket
+  WHERE d.doc <> c.doc
+),
+cshing AS (
+  SELECT doc, list_distinct(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM cw WHERE len(ws) >= 3
+),
+dshing AS (
+  SELECT doc, list_distinct(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM dw WHERE len(ws) >= 3
+)
+SELECT c.doc_delta, c.doc_corpus,
+       round(CAST(len(list_intersect(d.shingles, s.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(d.shingles, s.shingles))),
+             4) AS jaccard
+FROM cand c
+JOIN dshing d ON c.doc_delta = d.doc
+JOIN cshing s ON c.doc_corpus = s.doc
+WHERE round(CAST(len(list_intersect(d.shingles, s.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(d.shingles, s.shingles))), 4)
+      >= 0.5
+"""
+
     # Decontamination parity (__spark_entry__.q_decontaminate):
     # 8-word n-grams (md5-hashed like the operator), benchmark =
     # every 50th doc, per-doc distinct shared-gram counts.

@@ -1397,3 +1397,98 @@ def span_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("text_kept", F.lit("")).alias("text_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup (delta batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_near_dup(
+    delta: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    max_posting: int | None = DEFAULT_POSTING_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup of a DELTA batch against the EXISTING corpus — the
+    daily-ingest question ("is this new doc a duplicate of anything
+    we already have?"), which is an ASYMMETRIC band join, not the
+    self-join the batch path uses.  At 10^12 docs the corpus side's
+    band rows are precomputed once and stored; each day's delta
+    re-signs only itself and equi-joins on (band, bucket).
+
+    Corpus posting lists over ``max_posting`` collapse to their
+    min-doc representative only (1 row): a delta doc landing in a
+    giant boilerplate bucket still reaches exact verification via
+    the rep, while the join stays linear in the bucket — the same
+    star-degradation contract as :func:`lsh_candidate_pairs`, but
+    one-sided (the delta side is never capped; it is small by
+    construction).
+
+    Returns verified (doc_delta, doc_corpus, jaccard >= threshold)
+    pairs.
+    """
+    d_bands = lsh_bands(
+        minhash_signature_rows(
+            shingle_rows(delta, k, id_col, text_col), num_hashes
+        ),
+        bands,
+        rows_per_band,
+    )
+    c_bands = lsh_bands(
+        minhash_signature_rows(
+            shingle_rows(corpus, k, id_col, text_col), num_hashes
+        ),
+        bands,
+        rows_per_band,
+    )
+    if max_posting is not None:
+        w = Window.partitionBy("band", "bucket")
+        c_bands = (
+            c_bands.withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn("_rep", F.min("doc").over(w))
+            .filter(
+                (F.col("_n") <= max_posting)
+                | (F.col("doc") == F.col("_rep"))
+            )
+            .drop("_n", "_rep")
+        )
+    cand = (
+        d_bands.select(
+            F.col("doc").alias("doc_delta"), "band", "bucket"
+        )
+        .join(
+            c_bands.select(
+                F.col("doc").alias("doc_corpus"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_delta") != F.col("doc_corpus"))
+        .select("doc_delta", "doc_corpus")
+        .distinct()
+    )
+    sh_d = shingles(delta, k, id_col, text_col).select(
+        F.col("doc").alias("doc_delta"), F.col("shingles").alias("sh_d")
+    )
+    sh_c = shingles(corpus, k, id_col, text_col).select(
+        F.col("doc").alias("doc_corpus"),
+        F.col("shingles").alias("sh_c"),
+    )
+    inter = F.size(F.array_intersect("sh_d", "sh_c"))
+    union = F.size(F.array_union("sh_d", "sh_c"))
+    return (
+        cand.join(sh_d, "doc_delta")
+        .join(sh_c, "doc_corpus")
+        .select(
+            "doc_delta",
+            "doc_corpus",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

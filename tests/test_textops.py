@@ -583,3 +583,43 @@ def test_span_dedup_keep_first_and_reassembly(spark):
     # is a later occurrence of the first
     assert (out[4].n_spans, out[4].n_kept) == (3, 2)
     assert out[4].text_kept == f"{span('d')} tail words"
+
+
+def test_incremental_near_dup_delta_vs_corpus(spark):
+    """Asymmetric daily-ingest dedup: delta docs match their corpus
+    near-dups (exact dup -> jaccard 1.0), corpus-corpus and
+    delta-delta pairs are never emitted, and a delta doc landing in
+    an over-cap corpus bucket still reaches verification via the
+    bucket's min-doc representative."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # corpus-internal dup: must NOT appear in output
+            (3, "completely different words about spark shuffle joins"),
+        ],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (101, base),                                   # dup of 1 and 2
+            (102, "unrelated fresh content never seen before today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.doc_delta, r.doc_corpus): r.jaccard
+        for r in textops.incremental_near_dup(delta, corpus).collect()
+    }
+    assert out[(101, 1)] == 1.0 and out[(101, 2)] == 1.0
+    assert all(d == 101 for d, _ in out)  # 102 matches nothing
+    # one-sided cap: with max_posting=1 every corpus bucket collapses
+    # to its min-doc rep -> delta still reaches doc 1 (the rep), and
+    # doc 2 is only reachable through downstream closure
+    capped = {
+        (r.doc_delta, r.doc_corpus)
+        for r in textops.incremental_near_dup(
+            delta, corpus, max_posting=1
+        ).collect()
+    }
+    assert (101, 1) in capped and (101, 2) not in capped
