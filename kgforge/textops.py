@@ -27,6 +27,7 @@ with groupBy(band, bucket) — the standard web-scale near-dup shape.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import List
 
 from pyspark.sql import DataFrame, Window
@@ -559,6 +560,31 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 
+@contextmanager
+def _small_graph_exec(spark, n_rows: int, threshold: int = 500_000):
+    """Session-wide AQE keeps post-shuffle parallelism ~= cores
+    (``parallelismFirst=true``) — right for corpus-scale shuffles,
+    pure task-launch overhead for the tiny per-round frames of an
+    iterative closure over a SMALL graph: a near-empty edge set
+    otherwise runs full-width task waves on every round of the loop,
+    and the fixed cost (rounds x stages x tasks) dominates the whole
+    query.  Below ``threshold`` edges, let AQE coalesce by SIZE for
+    the duration of the loop so each round runs 1-2 tasks; at or
+    above it (the 10^12-doc regime the algorithms exist for) nothing
+    changes.  The conf flip is session-scoped — callers run the loop
+    serially, and the flip is restored in a finally."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    if n_rows >= threshold:
+        yield
+        return
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -594,62 +620,66 @@ def connected_components(
     p = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).persist()
-    p.count()
-    edges = (
-        p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
-    # labels carries _changed through the loop so the loop variable
-    # is always the persisted 3-column Dataset (unpersist works)
-    labels = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-        .withColumn("_changed", F.lit(False))
-        .persist()
-    )
-    labels.count()  # materializes edges' cache too (labels reads it)
-    p.unpersist()
-    converged = False
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(
-                labels.select(
-                    F.col("v").alias("dst"),
-                    F.col("label").alias("nlabel"),
-                ),
-                "dst",
+    n_pairs = p.count()
+    with _small_graph_exec(pairs.sparkSession, n_pairs):
+        edges = (
+            p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                p.select(
+                    F.col("b").alias("src"), F.col("a").alias("dst")
+                )
             )
-            .groupBy(F.col("src").alias("v"))
-            .agg(F.min("nlabel").alias("minn"))
-        )
-        nxt = (
-            labels.select("v", "label")
-            .join(msgs, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("minn"), F.col("label")),
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("minn"), F.col("label"))
-                    < F.col("label")
-                ).alias("_changed"),
-            )
+            .distinct()
             .persist()
         )
-        changed = nxt.filter(F.col("_changed")).count()
-        labels.unpersist()
-        labels = nxt
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
+        # labels carries _changed through the loop so the loop
+        # variable is always the persisted 3-column Dataset
+        # (unpersist works)
+        labels = (
+            edges.select(F.col("src").alias("v"))
+            .distinct()
+            .withColumn("label", F.col("v"))
+            .withColumn("_changed", F.lit(False))
+            .persist()
+        )
+        labels.count()  # materializes edges' cache too
+        p.unpersist()
+        converged = False
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(
+                    labels.select(
+                        F.col("v").alias("dst"),
+                        F.col("label").alias("nlabel"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.min("nlabel").alias("minn"))
+            )
+            nxt = (
+                labels.select("v", "label")
+                .join(msgs, "v", "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("minn"), F.col("label")),
+                    ).alias("label"),
+                    (
+                        F.coalesce(F.col("minn"), F.col("label"))
+                        < F.col("label")
+                    ).alias("_changed"),
+                )
+                .persist()
+            )
+            changed = nxt.filter(F.col("_changed")).count()
+            labels.unpersist()
+            labels = nxt
+            if changed == 0:
+                converged = True
+                break
+        edges.unpersist()
     if not converged:
         labels.unpersist()
         raise RuntimeError(
@@ -746,44 +776,45 @@ def connected_components_star(
     p = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).persist()
-    p.count()
-    verts = (
-        p.select(F.explode(F.array("a", "b")).alias("doc"))
-        .distinct()
-        .persist()
-    )
-    verts.count()
-    edges = (
-        p.select(
-            F.greatest("a", "b").alias("u"),
-            F.least("a", "b").alias("v"),
+    n_pairs = p.count()
+    with _small_graph_exec(pairs.sparkSession, n_pairs):
+        verts = (
+            p.select(F.explode(F.array("a", "b")).alias("doc"))
+            .distinct()
+            .persist()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
-    )
-    prev_sum = checksum(edges)
-    p.unpersist()
-    converged = False
-    for _ in range(max_iter):
-        nxt = small_star(large_star(edges)).distinct().persist()
-        cur_sum = checksum(nxt)
-        # Checksum equality is the cheap per-round signal; CONFIRM the
-        # fixpoint structurally before trusting it (ADVICE r4): two
-        # different edge sets can collide in (count, sum of 40-bit
-        # hashes), and terminating on a collision would emit a
-        # silently split clustering.  Both frames are persisted and
-        # distinct with equal counts here, so an empty exceptAll
-        # proves set equality; on the (astronomically rare) collision
-        # the loop simply continues.
-        if cur_sum == prev_sum and nxt.exceptAll(edges).isEmpty():
+        verts.count()
+        edges = (
+            p.select(
+                F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        prev_sum = checksum(edges)
+        p.unpersist()
+        converged = False
+        for _ in range(max_iter):
+            nxt = small_star(large_star(edges)).distinct().persist()
+            cur_sum = checksum(nxt)
+            # Checksum equality is the cheap per-round signal;
+            # CONFIRM the fixpoint structurally before trusting it
+            # (ADVICE r4): two different edge sets can collide in
+            # (count, sum of 40-bit hashes), and terminating on a
+            # collision would emit a silently split clustering.  Both
+            # frames are persisted and distinct with equal counts
+            # here, so an empty exceptAll proves set equality; on the
+            # (astronomically rare) collision the loop continues.
+            if cur_sum == prev_sum and nxt.exceptAll(edges).isEmpty():
+                edges.unpersist()
+                edges = nxt
+                converged = True
+                break
             edges.unpersist()
             edges = nxt
-            converged = True
-            break
-        edges.unpersist()
-        edges = nxt
-        prev_sum = cur_sum
+            prev_sum = cur_sum
     if not converged:
         edges.unpersist()
         verts.unpersist()
