@@ -76,6 +76,20 @@ def build_session(
             os.environ.get("KGFORGE_DRIVER_MEM", "48g"),
         )
         .config("spark.memory.fraction", "0.7")
+        # Spark renders the physical-plan STRING for the SQL listener
+        # on every action (SQLExecution.withNewExecutionId ->
+        # explainString), and that cost is paid even with the UI off.
+        # Deep pipelines (chunk -> extract -> merge -> query stacks)
+        # make the default 2 GiB budget a multi-second driver stall
+        # per action; a 64 KiB cap keeps the listener payload useful
+        # while bounding the render.  (Iterative loops additionally
+        # truncate lineage via localCheckpoint — see textops'
+        # connected-components note — since a capped STRING still
+        # walks the whole tree.)
+        .config(
+            "spark.sql.maxPlanStringLength",
+            os.environ.get("KGFORGE_MAX_PLAN_STRING", "65536"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

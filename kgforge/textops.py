@@ -603,11 +603,11 @@ def connected_components(
     graph diameter (near-dup clusters are dense, so typically 2-3;
     ``max_iter`` bounds pathological chains — exhausting it RAISES
     rather than returning a silently split clustering).  Convergence
-    is checked with one count per round riding the persisted round
-    frame, each round's lineage is CUT by its persist, and the prior
-    round's cache is freed every round (the loop variable stays the
-    persisted Dataset itself — unpersisting a projection of it would
-    be a CacheManager no-op).  The FINAL label frame remains cached
+    is checked with one count per round riding the checkpointed round
+    frame; each round's lineage is CUT by an eager ``localCheckpoint``
+    (NOT a mere persist — see the inline note: the per-round plan
+    would otherwise double in size every round).  The FINAL label
+    frame remains materialized (MEMORY_AND_DISK checkpoint blocks)
     for the caller's consumption.  At 10^12-doc scale swap the
     propagation for the O(log n)-round large-star/small-star variant
     — the per-round join shape (edges ⋈ labels on uniform ids) is
@@ -622,6 +622,19 @@ def connected_components(
     ).persist()
     n_pairs = p.count()
     with _small_graph_exec(pairs.sparkSession, n_pairs):
+        # localCheckpoint (not persist) on the loop frames: each
+        # round's plan references the previous round TWICE (once via
+        # ``msgs``, once directly), so the un-truncated logical tree
+        # DOUBLES per round — persist cuts re-execution but not the
+        # plan, and by round ~15 the driver spends tens of seconds
+        # per action just walking/rendering the exponential tree
+        # (Spark renders the plan string for the UI listener on every
+        # action).  Checkpointing each round replaces the lineage with
+        # a LogicalRDD, keeping per-round planning O(1) — the same
+        # reason GraphX's Pregel checkpoints periodically.  The
+        # checkpointed blocks are MEMORY_AND_DISK; superseded rounds
+        # are freed by the ContextCleaner when the driver-side handle
+        # is collected.
         edges = (
             p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionByName(
@@ -630,19 +643,15 @@ def connected_components(
                 )
             )
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
-        # labels carries _changed through the loop so the loop
-        # variable is always the persisted 3-column Dataset
-        # (unpersist works)
         labels = (
             edges.select(F.col("src").alias("v"))
             .distinct()
             .withColumn("label", F.col("v"))
             .withColumn("_changed", F.lit(False))
-            .persist()
+            .localCheckpoint()
         )
-        labels.count()  # materializes edges' cache too
         p.unpersist()
         converged = False
         for _ in range(max_iter):
@@ -671,17 +680,14 @@ def connected_components(
                         < F.col("label")
                     ).alias("_changed"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = nxt.filter(F.col("_changed")).count()
-            labels.unpersist()
             labels = nxt
             if changed == 0:
                 converged = True
                 break
-        edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within "
             f"{max_iter} rounds (a component's diameter exceeds it); "
@@ -778,12 +784,17 @@ def connected_components_star(
     ).persist()
     n_pairs = p.count()
     with _small_graph_exec(pairs.sparkSession, n_pairs):
+        # localCheckpoint per round, as in connected_components: each
+        # round references the previous edge frame several times
+        # (large-star's mins join + small-star's), so the logical
+        # tree would grow ~4-6x per round without lineage truncation
+        # and driver-side planning/plan-string rendering — not task
+        # execution — would dominate the loop.
         verts = (
             p.select(F.explode(F.array("a", "b")).alias("doc"))
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
-        verts.count()
         edges = (
             p.select(
                 F.greatest("a", "b").alias("u"),
@@ -791,33 +802,33 @@ def connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
         prev_sum = checksum(edges)
         p.unpersist()
         converged = False
         for _ in range(max_iter):
-            nxt = small_star(large_star(edges)).distinct().persist()
+            nxt = (
+                small_star(large_star(edges))
+                .distinct()
+                .localCheckpoint()
+            )
             cur_sum = checksum(nxt)
             # Checksum equality is the cheap per-round signal;
             # CONFIRM the fixpoint structurally before trusting it
             # (ADVICE r4): two different edge sets can collide in
             # (count, sum of 40-bit hashes), and terminating on a
             # collision would emit a silently split clustering.  Both
-            # frames are persisted and distinct with equal counts
+            # frames are materialized and distinct with equal counts
             # here, so an empty exceptAll proves set equality; on the
             # (astronomically rare) collision the loop continues.
             if cur_sum == prev_sum and nxt.exceptAll(edges).isEmpty():
-                edges.unpersist()
                 edges = nxt
                 converged = True
                 break
-            edges.unpersist()
             edges = nxt
             prev_sum = cur_sum
     if not converged:
-        edges.unpersist()
-        verts.unpersist()
         raise RuntimeError(
             f"connected_components_star did not converge within "
             f"{max_iter} rounds"
