@@ -272,6 +272,54 @@ def q_span_dedup(spark, sf_dir):
     return textops.span_dedup(_docs(spark, sf_dir))
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified subsampling graded: per-lang keep
+    rates decided by a pure two-round LCG hash of doc_id (constants
+    shared with the oracle via kgforge.oracles), so the surviving
+    row set is identical on any partitioning / cluster size / rerun
+    — one stateless filter, zero shuffles, hash-exact."""
+    from kgforge.mixing import sample_corpus
+    from kgforge.oracles import (
+        SAMPLE_DEFAULT,
+        SAMPLE_FRACTIONS,
+        SAMPLE_SEED,
+    )
+
+    return sample_corpus(
+        _docs(spark, sf_dir),
+        SAMPLE_FRACTIONS,
+        default_fraction=SAMPLE_DEFAULT,
+        seed=SAMPLE_SEED,
+    )
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled data-mixture weights graded: per-lang token
+    totals -> share^alpha normalized (the multilingual rebalancing
+    exponent), aggregated with one map-side-combined groupBy; the
+    windows run over the stratum-cardinality aggregate only.  Shares
+    divide exact integers; pow-derived weights round to 4 places on
+    both sides."""
+    from kgforge.mixing import mixture_weights
+    from kgforge.oracles import MIX_ALPHA
+
+    return mixture_weights(_docs(spark, sf_dir), alpha=MIX_ALPHA)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing graded: documents are
+    concatenated per lang in doc_id order and cut into 512-token
+    context windows; each row gets its window id, offset, and
+    straddle flag.  The Spark side computes the per-group prefix sum
+    DISTRIBUTED (range partition -> tiny per-partition offset table
+    -> local windows) while the oracle uses the naive global window
+    — hash-exact equality proves the decomposition."""
+    from kgforge.mixing import pack_concat
+    from kgforge.oracles import PACK_BUDGET
+
+    return pack_concat(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
 def q_entity_linking(spark, sf_dir):
     """Entity LINKING graded (north_rule surface): near-duplicate
     entity names from the real merged node table fold into canonical
@@ -1198,6 +1246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "span_dedup": q_span_dedup,
+        "sample_stratified": q_sample_stratified,
+        "mixture_weights": q_mixture_weights,
+        "pack_sequences": q_pack_sequences,
         "entity_linking": q_entity_linking,
         "redact_secrets": q_redact_secrets,
         "corpus_prep": q_corpus_prep,

@@ -93,6 +93,9 @@ def main() -> None:
         "fingerprint",
         "repetition_stats",
         "span_dedup",
+        "sample_stratified",
+        "mixture_weights",
+        "pack_sequences",
         "entity_linking",
         "redact_secrets",
         "corpus_prep",

@@ -20,10 +20,12 @@ __all__ = [
     "embedding",
     "extraction",
     "gochunk",
+    "linking",
     "llm",
     "llmclient",
     "markdown",
     "merge",
+    "mixing",
     "multimodal",
     "oracles",
     "pipeline",

@@ -1,0 +1,233 @@
+"""Training-mix assembly: the step AFTER cleaning and dedup, where a
+corpus becomes an actual LLM training dataset — subsample each slice
+to a target rate, decide the slice weights, and pack documents into
+fixed-size context windows.
+
+The reference pipeline (go-light-rag) stops at graph + vector
+storage; these operators are the extension surface a 100 TB
+training-data pipeline needs downstream of the
+:mod:`kgforge.textops` funnel (SURVEY.md training-data ops).  All
+three are pure DataFrame ops — no UDF, no driver collect — and each
+is graded against a DuckDB oracle.
+
+Scale shapes:
+
+* ``sample_corpus`` — one stateless filter (a deterministic
+  per-row hash against a per-stratum threshold): zero shuffles,
+  trivially parallel, reproducible across runs/cluster sizes.
+* ``mixture_weights`` — one partial-aggregated groupBy over tiny
+  (stratum) cardinality.
+* ``pack_concat`` — a DISTRIBUTED prefix sum: range-partition by
+  (group, id), per-partition local running sums, then a
+  tiny per-(partition, group) offset table windowed and broadcast
+  back.  A naive ``SUM() OVER (PARTITION BY group ORDER BY id)``
+  sends each group to ONE reducer — a 10 TB language would
+  serialize; the two-pass shape keeps every stage at full
+  parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "lcg_hash",
+    "sample_corpus",
+    "mixture_weights",
+    "pack_concat",
+]
+
+# 2^31 — the LCG modulus; thresholds are fractions of this.
+_LCG_M = 2**31
+_LCG_A = 1103515245
+_LCG_C = 12345
+
+
+def lcg_hash(col, seed: int = 0):
+    """Two-round LCG over a BIGINT id -> uniform value in
+    [0, 2^31).  Chosen over xxhash64 because the identical
+    arithmetic is expressible in ANSI SQL (the DuckDB oracle must
+    reproduce the exact keep/drop set); the products stay under
+    2^63 (id < 2^52, multiplier ~2^30), so ANSI overflow checking
+    never trips.  Two rounds decorrelate sequential ids well enough
+    for sampling; swap in ``F.xxhash64`` when oracle parity is not
+    needed."""
+    h1 = F.pmod(col * F.lit(_LCG_A) + F.lit(_LCG_C + seed), F.lit(_LCG_M))
+    return F.pmod(h1 * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
+
+
+def sample_corpus(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified subsampling: keep each document of
+    stratum ``s`` with probability ``fractions[s]`` (strata absent
+    from the map use ``default_fraction``), decided by a pure hash
+    of the id — no RNG state, so the SAME rows survive on any
+    cluster size, any partitioning, and any re-run (resumable
+    ingest requires this; ``F.sample`` is partition-layout
+    dependent).
+
+    Returns the surviving (id, stratum) rows.  One stateless
+    filter: at 100 TB this is a full scan and nothing else — no
+    shuffle, and column pruning reduces the read to two columns.
+    """
+    thresholds = F.create_map(
+        *[
+            x
+            for k, v in sorted(fractions.items())
+            for x in (F.lit(k), F.lit(int(v * _LCG_M)))
+        ]
+    )
+    default_t = F.lit(int(default_fraction * _LCG_M))
+    keep = lcg_hash(F.col(id_col), seed) < F.coalesce(
+        thresholds[F.col(stratum_col)], default_t
+    )
+    return docs.filter(keep).select(
+        F.col(id_col).alias("doc"),
+        F.col(stratum_col).alias("stratum"),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum: each stratum's
+    sampling weight is ``share^alpha / sum(share^alpha)`` over its
+    token share — ``alpha < 1`` upsamples tail strata (the
+    multilingual-rebalancing exponent of XLM-R / mT5 style
+    pipelines; ``alpha = 1`` reproduces natural proportions).
+
+    One partial-aggregated ``groupBy(stratum)`` (map-side combine,
+    stratum cardinality is tiny) followed by window totals ON THE
+    AGGREGATE — the windows sort dozens of rows, not the corpus.
+    Shares divide exact integer token counts; weights are rounded to
+    4 decimals on both the Spark and oracle sides so libm ``pow``
+    ulp differences cannot flip the hash.
+    """
+    ws_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    )
+    agg = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_tokens).cast("bigint").alias("n_tokens"),
+    )
+    # the unpartitioned windows run over the AGGREGATE (stratum
+    # cardinality), never the corpus — one partition of dozens of
+    # rows; staged in two selects because a window expression cannot
+    # feed another window function directly
+    everything = Window.partitionBy()
+    shared = agg.withColumn(
+        "_share", F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    ).withColumn("_scaled", F.pow("_share", F.lit(alpha)))
+    return shared.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round("_share", 4).alias("share"),
+        F.round(
+            F.col("_scaled") / F.sum("_scaled").over(everything), 4
+        ).alias("weight"),
+    )
+
+
+def pack_concat(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: per group, documents are
+    concatenated in id order and cut into fixed ``budget``-token
+    context windows — every document gets the window (``bin``) its
+    first token lands in, its offset inside that window, and whether
+    it straddles a window boundary (the rows a loader must split).
+    This is the packing LLM training pipelines actually run
+    (concatenate, then slice at the context length), and it needs
+    exactly one quantity per row: the running token count of all
+    earlier documents in the group.
+
+    That prefix sum is computed DISTRIBUTED, not with a per-group
+    global window (which would sort each group on a single reducer
+    — the bottleneck at 10 TB-per-language scale):
+
+    1. range-partition by (group, id) — global order across
+       partitions, full write parallelism;
+    2. per-partition partial token sums by (partition, group) — a
+       TINY table (partitions x groups rows);
+    3. window the tiny table to get each partition's group offset,
+       broadcast it back, and window WITHIN each partition for the
+       local running sum.  ``cum_before = offset + local_before``
+       then equals the global per-group prefix sum exactly, so the
+       DuckDB oracle can grade it with a plain
+       ``SUM() OVER (PARTITION BY ... ORDER BY ...)``.
+
+    Tokens are whitespace tokens (the :func:`kgforge.textops.
+    token_stats` convention, shared with the oracle).
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(group_col).alias("grp"),
+        n_tokens.alias("n_tokens"),
+    )
+    ranged = base.repartitionByRange(
+        num_partitions, "grp", "doc"
+    ).withColumn("_pid", F.spark_partition_id())
+    # per-(partition, group) totals: partitions x groups rows — the
+    # window over THIS frame sorts a tiny table, never the corpus
+    part_totals = ranged.groupBy("_pid", "grp").agg(
+        F.sum("n_tokens").alias("_ptotal")
+    )
+    prior = Window.partitionBy("grp").orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = part_totals.select(
+        "_pid",
+        "grp",
+        F.coalesce(F.sum("_ptotal").over(prior), F.lit(0)).alias(
+            "_offset"
+        ),
+    )
+    local = Window.partitionBy("_pid", "grp").orderBy("doc").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = (
+        ranged.join(F.broadcast(offsets), ["_pid", "grp"])
+        .withColumn(
+            "cum_before",
+            F.col("_offset")
+            + F.coalesce(F.sum("n_tokens").over(local), F.lit(0)),
+        )
+        .select(
+            "doc",
+            F.col("grp").alias("grp"),
+            "n_tokens",
+            F.floor(F.col("cum_before") / budget).alias("bin"),
+            F.pmod(F.col("cum_before"), F.lit(budget)).alias(
+                "bin_offset"
+            ),
+            (
+                (F.pmod(F.col("cum_before"), F.lit(budget)) + F.col("n_tokens"))
+                > budget
+            ).alias("straddles"),
+        )
+    )
+    return packed

@@ -19,8 +19,19 @@ from kgforge.extraction import (
     HEURISTIC_MAX_PAIR_ENTITIES,
     HEURISTIC_MIN_WORD_LEN,
 )
+from kgforge.mixing import _LCG_A as MIX_A
+from kgforge.mixing import _LCG_C as MIX_C
+from kgforge.mixing import _LCG_M as MIX_M
 from kgforge.schemas import SEP
 from kgforge.textops import EN_STOPWORDS
+
+# Graded training-mix configuration — single source of truth shared
+# by the Spark queries (__spark_entry__) and the SQL oracles below.
+SAMPLE_FRACTIONS = {"en": 0.6, "zh": 0.4, "de": 0.25}
+SAMPLE_DEFAULT = 0.1
+SAMPLE_SEED = 7
+MIX_ALPHA = 0.3
+PACK_BUDGET = 512
 
 _HEXD = "'0123456789abcdef'"
 
@@ -1490,6 +1501,81 @@ SELECT config, k, hits, round(hits / 10.0, 4) AS recall FROM (
   UNION ALL
 {_recall_leg("int8_rerank12", _int8_sql(12))}
 )
+"""
+
+    # ------------------------------------------------------------------
+    # Training-mix assembly (kgforge.mixing)
+    # ------------------------------------------------------------------
+
+    # Stratified sampling parity (__spark_entry__.q_sample_stratified):
+    # the exact two-round LCG arithmetic — constants imported from
+    # kgforge.mixing so the keep/drop set cannot drift.  Thresholds are
+    # int(fraction * 2^31) exactly as sample_corpus computes them.
+    lcg = (
+        f"((((doc_id * {MIX_A} + {MIX_C} + {SAMPLE_SEED}) % {MIX_M})"
+        f" * {MIX_A} + {MIX_C}) % {MIX_M})"
+    )
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * MIX_M)}"
+        for k, v in sorted(SAMPLE_FRACTIONS.items())
+    )
+    q["sample_stratified"] = f"""
+SELECT doc_id AS doc, lang AS stratum
+FROM documents
+WHERE {lcg} < CASE lang {cases}
+              ELSE {int(SAMPLE_DEFAULT * MIX_M)} END
+"""
+
+    # Mixture-weights parity (__spark_entry__.q_mixture_weights):
+    # integer token counts aggregate exactly; share divides exact
+    # integers; pow/normalized weight rounded to 4 places (libm pow
+    # and float sum order differ at ~1e-16).
+    _WS_COUNT = (
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'),"
+        " x -> x <> '')) AS BIGINT)"
+    )
+    q["mixture_weights"] = f"""
+WITH agg AS (
+  SELECT lang AS stratum, COUNT(*) AS n_docs,
+         CAST(SUM({_WS_COUNT}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+shares AS (
+  SELECT stratum, n_docs, n_tokens,
+         n_tokens / (SUM(n_tokens) OVER ()) AS share_raw,
+         pow(n_tokens / (SUM(n_tokens) OVER ()), {MIX_ALPHA})
+           AS scaled
+  FROM agg
+)
+SELECT stratum, n_docs, n_tokens,
+       round(share_raw, 4) AS share,
+       round(scaled / SUM(scaled) OVER (), 4) AS weight
+FROM shares
+"""
+
+    # Concat-and-chunk packing parity (__spark_entry__.
+    # q_pack_sequences): the oracle grades with the NAIVE global
+    # per-group running sum — the Spark side's distributed two-pass
+    # prefix sum must reproduce it exactly.
+    q["pack_sequences"] = f"""
+WITH base AS (
+  SELECT doc_id AS doc, lang AS grp, {_WS_COUNT} AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc, grp, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM base
+)
+SELECT doc, grp, n_tokens,
+       cum_before // {PACK_BUDGET} AS bin,
+       cum_before % {PACK_BUDGET} AS bin_offset,
+       (cum_before % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET}
+         AS straddles
+FROM cum
 """
 
     return q

@@ -1,0 +1,139 @@
+"""Training-mix assembly operators (kgforge.mixing)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kgforge.mixing import (
+    lcg_hash,
+    mixture_weights,
+    pack_concat,
+    sample_corpus,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+
+
+def test_sample_partitioning_invariant(spark):
+    """The SAME rows survive regardless of physical layout."""
+    rows = [(i, "en" if i % 3 else "de", f"t {i}") for i in range(400)]
+    base = _docs(spark, rows)
+    frac = {"en": 0.5, "de": 0.2}
+    a = sample_corpus(base.repartition(1), frac, seed=3)
+    b = sample_corpus(base.repartition(16), frac, seed=3)
+    got_a = sorted(r.doc for r in a.collect())
+    got_b = sorted(r.doc for r in b.collect())
+    assert got_a == got_b and len(got_a) > 0
+
+
+def test_sample_rates_and_seed(spark):
+    rows = [(i, "en", "x") for i in range(5000)]
+    base = _docs(spark, rows)
+    kept = sample_corpus(base, {"en": 0.3}, seed=0).count()
+    assert abs(kept / 5000 - 0.3) < 0.03
+    # a different seed keeps a different set
+    s0 = {r.doc for r in sample_corpus(base, {"en": 0.3}, seed=0).collect()}
+    s1 = {r.doc for r in sample_corpus(base, {"en": 0.3}, seed=9).collect()}
+    assert s0 != s1
+    # absent stratum uses the default fraction (0.0 -> drops all)
+    assert sample_corpus(base, {"zz": 1.0}).count() == 0
+
+
+def test_lcg_hash_range(spark):
+    df = spark.range(1000).select(lcg_hash(F.col("id")).alias("h"))
+    mn, mx = df.agg(F.min("h"), F.max("h")).first()
+    assert 0 <= mn and mx < 2**31
+
+
+def test_mixture_weights_alpha_one_is_natural(spark):
+    rows = [(i, "en" if i < 80 else "de", "a b c") for i in range(100)]
+    out = {
+        r.stratum: r
+        for r in mixture_weights(_docs(spark, rows), alpha=1.0).collect()
+    }
+    assert out["en"].share == out["en"].weight == 0.8
+    assert out["de"].share == out["de"].weight == 0.2
+
+
+def test_mixture_weights_alpha_rebalances(spark):
+    rows = [(i, "en" if i < 90 else "de", "a b c") for i in range(100)]
+    out = {
+        r.stratum: r
+        for r in mixture_weights(_docs(spark, rows), alpha=0.3).collect()
+    }
+    # alpha < 1 upsamples the tail stratum above its natural share
+    assert out["de"].weight > out["de"].share
+    assert out["en"].weight < out["en"].share
+    assert abs(out["en"].weight + out["de"].weight - 1.0) < 1e-3
+
+
+def test_pack_concat_matches_naive_global_window(spark):
+    """The distributed two-pass prefix sum must equal the naive
+    per-group global running sum — on a frame spread over more
+    partitions than groups."""
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], " ".join(["w"] * (1 + i % 37)))
+        for i in range(300)
+    ]
+    base = _docs(spark, rows).repartition(13)
+    got = pack_concat(base, budget=64, num_partitions=7)
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    naive_w = (
+        Window.partitionBy("grp")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        base.select(
+            F.col("doc_id").alias("doc"),
+            F.col("lang").alias("grp"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(naive_w), F.lit(0)),
+        )
+        .select(
+            "doc",
+            "grp",
+            "n_tokens",
+            F.floor(F.col("cum_before") / 64).alias("bin"),
+            F.pmod("cum_before", F.lit(64)).alias("bin_offset"),
+            (
+                (F.pmod("cum_before", F.lit(64)) + F.col("n_tokens")) > 64
+            ).alias("straddles"),
+        )
+    )
+    assert got.exceptAll(naive).isEmpty()
+    assert naive.exceptAll(got).isEmpty()
+
+
+def test_pack_concat_semantics(spark):
+    rows = [
+        (1, "en", "a b c"),        # 3 tokens: bin 0, offset 0
+        (2, "en", " ".join(["x"] * 10)),  # 10: bin 0, offset 3, straddles
+        (3, "en", "y"),            # bin 1 (cum 13 -> 13//8=1), offset 5
+        (4, "de", ""),             # zero tokens, own group
+    ]
+    out = {
+        r.doc: r for r in pack_concat(_docs(spark, rows), budget=8).collect()
+    }
+    assert (out[1].bin, out[1].bin_offset, out[1].straddles) == (0, 0, False)
+    assert (out[2].bin, out[2].bin_offset, out[2].straddles) == (0, 3, True)
+    assert (out[3].bin, out[3].bin_offset) == (1, 5)
+    assert (out[4].bin, out[4].n_tokens, out[4].straddles) == (0, 0, False)
+
+
+def test_pack_concat_doc_longer_than_budget(spark):
+    rows = [(1, "en", " ".join(["q"] * 40)), (2, "en", "a b")]
+    out = {
+        r.doc: r
+        for r in pack_concat(_docs(spark, rows), budget=16).collect()
+    }
+    assert out[1].straddles  # spans multiple windows
+    assert (out[2].bin, out[2].bin_offset) == (2, 8)  # 40 % 16
