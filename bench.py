@@ -121,6 +121,7 @@ def main() -> None:
         "ann_recall",
         "kg_chunks_go",
         "kg_chunks_jsonl",
+        "kg_chunks_csv",
         "kg_chunks_long",
         "kg_chunks_semantic",
         "kg_chunks_markdown",

@@ -1460,6 +1460,9 @@ ORDER BY score DESC, id ASC LIMIT 10
     # chunk bit-identically to the parquet path — the oracle is
     # kg_chunks' SQL verbatim (content AND content_sha compared).
     q["kg_chunks_jsonl"] = q["kg_chunks"]
+    # CSV-routed chunking parity (__spark_entry__.q_kg_chunks_csv):
+    # same contract — the wire format must not change a byte.
+    q["kg_chunks_csv"] = q["kg_chunks"]
 
     # ANN recall parity (__spark_entry__.q_ann_recall): each
     # approximate candidate set is reproduced exactly in SQL —
