@@ -77,6 +77,13 @@ def sample_corpus(
     filter: at 100 TB this is a full scan and nothing else — no
     shuffle, and column pruning reduces the read to two columns.
     """
+    bad = {
+        k: v
+        for k, v in {**fractions, "<default>": default_fraction}.items()
+        if not 0.0 <= v <= 1.0
+    }
+    if bad:
+        raise ValueError(f"sampling fractions outside [0, 1]: {bad}")
     thresholds = F.create_map(
         *[
             x
@@ -175,6 +182,8 @@ def pack_concat(
     Tokens are whitespace tokens (the :func:`kgforge.textops.
     token_stats` convention, shared with the oracle).
     """
+    if budget < 1:
+        raise ValueError(f"packing budget must be >= 1, got {budget}")
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(

@@ -42,6 +42,18 @@ def test_sample_rates_and_seed(spark):
     assert sample_corpus(base, {"zz": 1.0}).count() == 0
 
 
+def test_sample_and_pack_validate_inputs(spark):
+    import pytest
+
+    base = _docs(spark, [(1, "en", "x")])
+    with pytest.raises(ValueError, match="outside"):
+        sample_corpus(base, {"en": 1.5})
+    with pytest.raises(ValueError, match="outside"):
+        sample_corpus(base, {"en": 0.5}, default_fraction=-0.1)
+    with pytest.raises(ValueError, match="budget"):
+        pack_concat(base, budget=0)
+
+
 def test_lcg_hash_range(spark):
     df = spark.range(1000).select(lcg_hash(F.col("id")).alias("h"))
     mn, mx = df.agg(F.min("h"), F.max("h")).first()
