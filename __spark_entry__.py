@@ -272,6 +272,16 @@ def q_span_dedup(spark, sf_dir):
     return textops.span_dedup(_docs(spark, sf_dir))
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Per-lang token-length percentile profile graded (p50/p90/p99
+    + doc count): exact percentile with linear interpolation — the
+    same type-7 quantile definition as DuckDB's quantile_cont, so
+    values match to the rounding digit.  The corpus health check run
+    between funnel stages; at 10^12-row strata the same API flips to
+    approx_percentile (exact=False)."""
+    return textops.length_percentiles(_docs(spark, sf_dir))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified subsampling graded: per-lang keep
     rates decided by a pure two-round LCG hash of doc_id (constants
@@ -1271,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "span_dedup": q_span_dedup,
+        "length_percentiles": q_length_percentiles,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "pack_sequences": q_pack_sequences,

@@ -139,6 +139,7 @@ def main() -> None:
         "fingerprint",
         "repetition_stats",
         "span_dedup",
+        "length_percentiles",
         "sample_stratified",
         "mixture_weights",
         "pack_sequences",

@@ -1529,6 +1529,26 @@ WHERE {lcg} < CASE lang {cases}
               ELSE {int(SAMPLE_DEFAULT * MIX_M)} END
 """
 
+    # Length-percentile parity (__spark_entry__.q_length_percentiles):
+    # Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    # implement the type-7 quantile (linear interpolation at p*(n-1))
+    # over the same integer token counts — identical IEEE operations,
+    # rounded to 4 as convention.
+    _WS_COUNT0 = (
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'),"
+        " x -> x <> '')) AS BIGINT)"
+    )
+    q["length_percentiles"] = f"""
+WITH base AS (
+  SELECT lang AS stratum, {_WS_COUNT0} AS nt FROM documents
+)
+SELECT stratum, COUNT(*) AS n_docs,
+       round(quantile_cont(nt, 0.5), 4)  AS p50,
+       round(quantile_cont(nt, 0.9), 4)  AS p90,
+       round(quantile_cont(nt, 0.99), 4) AS p99
+FROM base GROUP BY stratum
+"""
+
     # Mixture-weights parity (__spark_entry__.q_mixture_weights):
     # integer token counts aggregate exactly; share divides exact
     # integers; pow/normalized weight rounded to 4 places (libm pow

@@ -515,6 +515,47 @@ def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+def length_percentiles(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    ps: tuple = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum token-length percentile profile — the corpus
+    health check every training-data pipeline runs before and after
+    each funnel stage (a collapsed p99 after span dedup, or a p50 of
+    3 tokens in some language, is how silent filter bugs surface).
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate
+    (linear interpolation at ``p*(n-1)`` — the same type-7 definition
+    DuckDB's ``quantile_cont`` implements, so the oracle matches to
+    the rounding digit).  The exact aggregate buffers each group's
+    values; that is fine for profile-sized strata but NOT for
+    10^12-row groups — pass ``exact=False`` there for
+    ``approx_percentile`` (KLL-sketch-style bounded memory, same
+    output shape, no oracle parity).
+    """
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    fn = "percentile" if exact else "approx_percentile"
+    plist = ", ".join(str(p) for p in ps)
+    arr = F.expr(f"{fn}(_nt, array({plist}))")
+    agg = docs.select(
+        F.col(stratum_col).alias("stratum"), n_tokens.alias("_nt")
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"), arr.alias("_qs")
+    )
+    cols = [
+        F.round(F.col("_qs").getItem(i), 4).alias(
+            ("p%g" % (p * 100)).replace(".", "_")
+        )
+        for i, p in enumerate(ps)
+    ]
+    return agg.select("stratum", "n_docs", *cols)
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (train-test n-gram overlap)
 # ---------------------------------------------------------------------------

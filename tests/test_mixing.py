@@ -149,3 +149,29 @@ def test_pack_concat_doc_longer_than_budget(spark):
     }
     assert out[1].straddles  # spans multiple windows
     assert (out[2].bin, out[2].bin_offset) == (2, 8)  # 40 % 16
+
+
+def test_length_percentiles_exact_and_approx(spark):
+    from kgforge.textops import length_percentiles
+
+    # en lengths 1..100 -> p50 = 50.5 (type-7 interpolation), p90 =
+    # 90.1, p99 = 99.01
+    rows = [(i, "en", " ".join(["w"] * i)) for i in range(1, 101)]
+    rows += [(200, "de", "a b c")]
+    out = {
+        r.stratum: r
+        for r in length_percentiles(_docs(spark, rows)).collect()
+    }
+    assert out["en"].n_docs == 100
+    assert abs(out["en"].p50 - 50.5) < 1e-9
+    assert abs(out["en"].p90 - 90.1) < 1e-9
+    assert abs(out["en"].p99 - 99.01) < 1e-9
+    assert out["de"].p50 == 3.0
+    # approx path: same shape, values near exact
+    approx = {
+        r.stratum: r
+        for r in length_percentiles(
+            _docs(spark, rows), exact=False
+        ).collect()
+    }
+    assert abs(approx["en"].p50 - 50.5) <= 2
