@@ -48,12 +48,14 @@ def lcg_hash(col, seed: int = 0):
     """Two-round LCG over a BIGINT id -> uniform value in
     [0, 2^31).  Chosen over xxhash64 because the identical
     arithmetic is expressible in ANSI SQL (the DuckDB oracle must
-    reproduce the exact keep/drop set); the products stay under
-    2^63 (id < 2^52, multiplier ~2^30), so ANSI overflow checking
-    never trips.  Two rounds decorrelate sequential ids well enough
-    for sampling; swap in ``F.xxhash64`` when oracle parity is not
-    needed."""
-    h1 = F.pmod(col * F.lit(_LCG_A) + F.lit(_LCG_C + seed), F.lit(_LCG_M))
+    reproduce the exact keep/drop set).  The id is reduced mod 2^31
+    FIRST so every product stays under 2^61 for ANY bigint id —
+    ANSI overflow checking can never trip (without the pre-reduce,
+    ids above ~2^33 would overflow the first multiply).  Two rounds
+    decorrelate sequential ids well enough for sampling; swap in
+    ``F.xxhash64`` when oracle parity is not needed."""
+    h0 = F.pmod(col, F.lit(_LCG_M))
+    h1 = F.pmod(h0 * F.lit(_LCG_A) + F.lit(_LCG_C + seed), F.lit(_LCG_M))
     return F.pmod(h1 * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
 
 

@@ -1515,8 +1515,8 @@ SELECT config, k, hits, round(hits / 10.0, 4) AS recall FROM (
     # kgforge.mixing so the keep/drop set cannot drift.  Thresholds are
     # int(fraction * 2^31) exactly as sample_corpus computes them.
     lcg = (
-        f"((((doc_id * {MIX_A} + {MIX_C} + {SAMPLE_SEED}) % {MIX_M})"
-        f" * {MIX_A} + {MIX_C}) % {MIX_M})"
+        f"((((doc_id % {MIX_M}) * {MIX_A} + {MIX_C} + {SAMPLE_SEED})"
+        f" % {MIX_M} * {MIX_A} + {MIX_C}) % {MIX_M})"
     )
     cases = " ".join(
         f"WHEN '{k}' THEN {int(v * MIX_M)}"

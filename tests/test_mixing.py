@@ -60,6 +60,18 @@ def test_lcg_hash_range(spark):
     assert 0 <= mn and mx < 2**31
 
 
+def test_lcg_hash_huge_ids_no_overflow(spark):
+    # ANSI mode would raise on int64 overflow without the mod-first
+    # reduce; ids near 2^62 must hash cleanly
+    rows = [(2**62 + i,) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint")
+    vals = [
+        r.h
+        for r in df.select(lcg_hash(F.col("doc_id")).alias("h")).collect()
+    ]
+    assert all(0 <= v < 2**31 for v in vals)
+
+
 def test_mixture_weights_alpha_one_is_natural(spark):
     rows = [(i, "en" if i < 80 else "de", "a b c") for i in range(100)]
     out = {
