@@ -330,6 +330,20 @@ def q_pack_sequences(spark, sf_dir):
     return pack_concat(_docs(spark, sf_dir), budget=PACK_BUDGET)
 
 
+def q_pack_stats(spark, sf_dir):
+    """Packing-efficiency summary graded: windows used, straddling
+    docs, and fill ratio per lang, aggregated over the pack_sequences
+    result — the oracle aggregates over the packing ORACLE, so the
+    two layers must agree end-to-end."""
+    from kgforge.mixing import pack_concat, pack_stats
+    from kgforge.oracles import PACK_BUDGET
+
+    return pack_stats(
+        pack_concat(_docs(spark, sf_dir), budget=PACK_BUDGET),
+        budget=PACK_BUDGET,
+    )
+
+
 def q_entity_linking(spark, sf_dir):
     """Entity LINKING graded (north_rule surface): near-duplicate
     entity names from the real merged node table fold into canonical
@@ -1285,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,
         "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
         "entity_linking": q_entity_linking,
         "redact_secrets": q_redact_secrets,
         "corpus_prep": q_corpus_prep,

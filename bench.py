@@ -143,6 +143,7 @@ def main() -> None:
         "sample_stratified",
         "mixture_weights",
         "pack_sequences",
+        "pack_stats",
         "entity_linking",
         "redact_secrets",
         "corpus_prep",

@@ -36,6 +36,7 @@ __all__ = [
     "sample_corpus",
     "mixture_weights",
     "pack_concat",
+    "pack_stats",
 ]
 
 # 2^31 — the LCG modulus; thresholds are fractions of this.
@@ -242,3 +243,39 @@ def pack_concat(
         )
     )
     return packed
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Packing-efficiency summary per group over a
+    :func:`pack_concat` result: context windows used, straddling
+    documents (the rows a loader must split across windows), and the
+    fill ratio (token mass / window capacity — 1.0 minus padding
+    waste in the final window).
+
+    One map-side-combined ``groupBy(grp)``; windows-used derives
+    from the exact token total (``floor((total-1)/budget)+1``), so
+    no per-bin aggregation is needed.
+    """
+    if budget < 1:
+        raise ValueError(f"packing budget must be >= 1, got {budget}")
+    n_bins = F.when(
+        F.sum("n_tokens") > 0,
+        F.floor((F.sum("n_tokens") - 1) / budget) + 1,
+    ).otherwise(F.lit(0))
+    return packed.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        n_bins.alias("n_bins"),
+        F.sum(F.col("straddles").cast("bigint")).alias("n_straddles"),
+        F.round(
+            F.when(
+                F.sum("n_tokens") > 0,
+                F.sum("n_tokens")
+                / (
+                    (F.floor((F.sum("n_tokens") - 1) / budget) + 1)
+                    * F.lit(budget)
+                ),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("fill_ratio"),
+    )

@@ -1601,4 +1601,25 @@ SELECT doc, grp, n_tokens,
 FROM cum
 """
 
+    # Packing-efficiency summary (__spark_entry__.q_pack_stats):
+    # aggregates over the packing oracle itself, so both layers must
+    # agree end-to-end.  Windows-used derives from the exact token
+    # total; fill divides exact integers, rounded to 4 as convention.
+    q["pack_stats"] = f"""
+WITH packed AS ({q["pack_sequences"]})
+SELECT grp, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CASE WHEN SUM(n_tokens) > 0
+            THEN (SUM(n_tokens) - 1) // {PACK_BUDGET} + 1
+            ELSE 0 END AS BIGINT) AS n_bins,
+       CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddles,
+       round(CASE WHEN SUM(n_tokens) > 0
+             THEN SUM(n_tokens) /
+                  (((SUM(n_tokens) - 1) // {PACK_BUDGET} + 1)
+                   * {PACK_BUDGET})
+             ELSE 0.0 END, 4) AS fill_ratio
+FROM packed GROUP BY grp
+"""
+
     return q

@@ -163,6 +163,28 @@ def test_pack_concat_doc_longer_than_budget(spark):
     assert (out[2].bin, out[2].bin_offset) == (2, 8)  # 40 % 16
 
 
+def test_pack_stats(spark):
+    from kgforge.mixing import pack_stats
+
+    rows = [
+        (1, "en", " ".join(["a"] * 5)),
+        (2, "en", " ".join(["b"] * 6)),   # straddles at budget 8
+        (3, "en", " ".join(["c"] * 5)),   # total 16 -> 2 bins, full
+        (4, "de", ""),                    # empty group: 0 bins
+    ]
+    out = {
+        r.grp: r
+        for r in pack_stats(
+            pack_concat(_docs(spark, rows), budget=8), budget=8
+        ).collect()
+    }
+    en = out["en"]
+    assert (en.n_docs, en.total_tokens, en.n_bins) == (3, 16, 2)
+    assert en.n_straddles == 1 and en.fill_ratio == 1.0
+    de = out["de"]
+    assert (de.total_tokens, de.n_bins, de.fill_ratio) == (0, 0, 0.0)
+
+
 def test_length_percentiles_exact_and_approx(spark):
     from kgforge.textops import length_percentiles
 
