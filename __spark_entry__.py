@@ -272,6 +272,15 @@ def q_span_dedup(spark, sf_dir):
     return textops.span_dedup(_docs(spark, sf_dir))
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality score graded: per-doc mean negative
+    log-prob under the corpus-trained add-one unigram model (high =
+    diverges from the corpus = filter candidate).  One explode ->
+    vocab aggregate (broadcastable) -> broadcast join -> per-doc
+    mean; hash-exact vs the identical SQL arithmetic rounded to 4."""
+    return textops.unigram_logperplexity(_docs(spark, sf_dir))
+
+
 def q_length_percentiles(spark, sf_dir):
     """Per-lang token-length percentile profile graded (p50/p90/p99
     + doc count): exact percentile with linear interpolation — the
@@ -1295,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "span_dedup": q_span_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "length_percentiles": q_length_percentiles,
         "sample_stratified": q_sample_stratified,
         "mixture_weights": q_mixture_weights,

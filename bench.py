@@ -139,6 +139,7 @@ def main() -> None:
         "fingerprint",
         "repetition_stats",
         "span_dedup",
+        "lm_perplexity",
         "length_percentiles",
         "sample_stratified",
         "mixture_weights",

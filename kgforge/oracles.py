@@ -1529,6 +1529,32 @@ WHERE {lcg} < CASE lang {cases}
               ELSE {int(SAMPLE_DEFAULT * MIX_M)} END
 """
 
+    # Unigram log-perplexity parity (__spark_entry__.
+    # q_lm_perplexity): same corpus-trained add-one unigram model,
+    # same -ln((c+1)/(n+v)) arithmetic over identical integer
+    # operands; per-doc means rounded to 4 (libm ln / sum-order
+    # differences ~1e-15).
+    q["lm_perplexity"] = f"""
+WITH w AS (
+  SELECT doc_id AS doc, unnest({_WORDS_EXPR}) AS w FROM documents
+),
+model AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM model),
+scored AS (
+  SELECT doc, -ln((c + 1) / (n + v)) AS nll
+  FROM w JOIN model USING (w) CROSS JOIN tot
+),
+per AS (
+  SELECT doc, COUNT(*) AS n_tokens,
+         round(AVG(nll), 4) AS nll_per_token
+  FROM scored GROUP BY doc
+)
+SELECT d.doc_id AS doc,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.nll_per_token, 0.0) AS nll_per_token
+FROM documents d LEFT JOIN per ON per.doc = d.doc_id
+"""
+
     # Length-percentile parity (__spark_entry__.q_length_percentiles):
     # Spark's exact `percentile` and DuckDB's `quantile_cont` both
     # implement the type-7 quantile (linear interpolation at p*(n-1))

@@ -515,6 +515,68 @@ def fingerprint(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+def unigram_logperplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean
+    negative log-probability under a unigram model TRAINED ON THE
+    CORPUS ITSELF (add-one smoothed).  Documents whose token
+    distribution diverges from the corpus (gibberish, boilerplate,
+    wrong-language contamination) score HIGH and get filtered; the
+    real CCNet uses a 5-gram KenLM, but the operator shape — score
+    under a broadcast model, threshold — is identical, and the
+    unigram variant needs no external model file.
+
+    Plan: one explode -> token-count aggregate (the "model", vocab-
+    cardinality rows — broadcastable at 100 TB where vocab is
+    millions against a corpus of trillions) -> broadcast-join the
+    token stream against it -> per-doc mean.  Two partial-agg
+    shuffles + one broadcast join; no UDF.  Scores are doc-level
+    float sums rounded to 4 (addend-order differences ~1e-15).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("w"),
+    )
+    model = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = model.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        words.join(F.broadcast(model), "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc",
+            (-F.log((F.col("c") + 1) / (F.col("n") + F.col("v")))).alias(
+                "nll"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 4).alias("nll_per_token"),
+    )
+    # empty docs (no [a-z] tokens) carry no signal: score 0
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("nll_per_token", F.lit(0.0)).alias(
+                "nll_per_token"
+            ),
+        )
+    )
+
+
 def length_percentiles(
     docs: DataFrame,
     stratum_col: str = "lang",

@@ -623,3 +623,21 @@ def test_incremental_near_dup_delta_vs_corpus(spark):
         ).collect()
     }
     assert (101, 1) in capped and (101, 2) not in capped
+
+
+def test_unigram_logperplexity_orders_gibberish_high(spark):
+    from kgforge.textops import unigram_logperplexity
+
+    common = "the table scans the table and joins the table"
+    rows = [(i, common, "en", "s", 1) for i in range(10)]
+    rows.append((100, "zqx vbn wfk jjq xxo", "en", "s", 1))  # gibberish
+    rows.append((101, "", "en", "s", 1))  # empty
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, "
+              "source string, n_chars bigint"
+    )
+    out = {r.doc: r for r in unigram_logperplexity(docs).collect()}
+    typical = out[0].nll_per_token
+    assert out[100].nll_per_token > typical  # rare tokens score high
+    assert out[101].n_tokens == 0 and out[101].nll_per_token == 0.0
+    assert len(out) == 12  # every doc present (left join)
