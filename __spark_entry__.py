@@ -760,6 +760,84 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _knn_graph_edges(spark, sf_dir):
+    """Approximate kNN graph over the embeddings table (LSH-bucketed
+    candidates, per-vector top-3, symmetrized) — memoized because it
+    is the shared backbone of the graph-analytics family below."""
+
+    def build():
+        from kgforge.graphops import knn_graph
+
+        g = knn_graph(
+            _emb(spark, sf_dir), k=3, n_planes=5, dim=64
+        ).persist()
+        return g, [g]
+
+    return _memo(spark, sf_dir, "knn_graph", build)
+
+
+def q_knn_graph(spark, sf_dir):
+    """kNN-graph construction: the undirected edge list itself.  The
+    candidate generation is an LSH-bucket equi-join (no crossJoin in
+    the plan) — the linear 10^12-vector shape; the oracle recomputes
+    the same buckets from the md5-seeded hyperplanes in SQL."""
+    return _knn_graph_edges(spark, sf_dir).select("src", "dst", "score")
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Deterministic fixed-point PageRank (integer arithmetic — the
+    only PageRank that can be hash-graded: float contribution sums
+    are order-dependent) over the kNN graph, 10 iterations."""
+    from kgforge.graphops import pagerank
+
+    return pagerank(_knn_graph_edges(spark, sf_dir), iterations=10).select(
+        F.col("id").alias("vec_id"), "rank_fp"
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-vertex triangle counts via degree-ordered compact-forward
+    enumeration (out-neighborhoods bounded O(sqrt(m)) after
+    orientation — hub-vertex-safe); the oracle counts the same
+    orientation-invariant triangles with plain id ordering."""
+    from kgforge.graphops import triangle_counts
+
+    return triangle_counts(_knn_graph_edges(spark, sf_dir)).select(
+        F.col("id").alias("vec_id"), "n_triangles"
+    )
+
+
+def q_graph_khop(spark, sf_dir):
+    """3-hop BFS ball around the minimum vertex id — the generalized
+    form of the reference's 1-hop neighborhood query (storage/
+    neo.go:476-549), frontier expansion with checkpoint-cut rounds."""
+    from kgforge.graphops import k_hop
+
+    g = _knn_graph_edges(spark, sf_dir)
+    seeds = g.agg(F.min("src").alias("seed"))
+    return k_hop(g, seeds, 3).select(
+        F.col("id").alias("vec_id"), "dist"
+    )
+
+
+def q_graph_linkpred(spark, sf_dir):
+    """Common-neighbor link prediction over the kNN graph: top-100
+    non-adjacent pairs by shared-neighbor count, with neighborhood
+    Jaccard (single IEEE division of exact integers — bit-stable)."""
+    from kgforge.graphops import common_neighbor_scores
+
+    return common_neighbor_scores(
+        _knn_graph_edges(spark, sf_dir), top=100
+    ).select(
+        F.col("a").alias("id_a"),
+        F.col("b").alias("id_b"),
+        "cn",
+        "deg_a",
+        "deg_b",
+        "jaccard",
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     from kgforge.multimodal import decode_assets
 
@@ -1333,6 +1411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_ivf_topk": q_vector_ivf_topk,
         "vector_int8_topk": q_vector_int8_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "knn_graph": q_knn_graph,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "graph_khop": q_graph_khop,
+        "graph_linkpred": q_graph_linkpred,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,
         "kg_chunks_go": q_kg_chunks_go,

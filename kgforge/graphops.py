@@ -1,0 +1,336 @@
+"""Graph analytics over materialized graphs — kNN-graph construction
+plus the algorithm family a KG / training-data pipeline runs on the
+graphs it builds (PageRank centrality, triangle counts, k-hop
+neighborhoods, common-neighbor link prediction).
+
+The reference stores a graph and answers degree / 1-hop / ranked
+queries over it (go-light-rag storage/neo.go:476-614); this module is
+the extension surface beyond that: whole-graph analytics that stay
+hash-exact against a SQL oracle so approximation never hides a bug.
+
+Determinism at 100 TB is the design constraint everything here bends
+around:
+
+* **PageRank runs in integer fixed-point** (``rank_fp`` = rank scaled
+  by ``scale``).  Floating-point PageRank is NOT reproducible across
+  engines or even across partitionings of the same engine — the
+  per-node contribution sum is order-dependent in IEEE arithmetic.
+  Integer sums are associative, so the same graph gives the same
+  bits on one executor or a thousand, in Spark or in DuckDB.
+* **Every iterative loop cuts lineage per round** with an eager
+  ``localCheckpoint`` — the same GraphX-Pregel rationale the
+  connected-components loops in :mod:`kgforge.textops` follow: the
+  logical plan otherwise grows per round and the driver, not the
+  cluster, becomes the bottleneck (see BENCH.md round 5).
+* **No crossJoin anywhere.**  The kNN graph candidates come from an
+  LSH-bucket equi-join (the linear shape at 10^12 vectors), triangle
+  enumeration orients edges by (degree, id) first — the classic
+  compact-forward bound: after orientation every out-neighborhood is
+  O(sqrt(m)), so the wedge join cannot blow up on a hub vertex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kgforge.similarity import _dot, _norm, bucket_id_col
+from kgforge.textops import _small_graph_exec
+
+__all__ = [
+    "knn_graph",
+    "pagerank",
+    "triangle_counts",
+    "k_hop",
+    "common_neighbor_scores",
+]
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 5,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN graph over an embedding corpus: per-vector
+    top-``k`` neighbors among the vectors sharing its LSH bucket,
+    symmetrized into undirected edges ``(src < dst, score)``.
+
+    The candidate set is an LSH-bucket **equi-join** (never all
+    pairs): with ``n_planes`` hyperplanes the corpus splits into
+    ``2^n_planes`` buckets and the quadratic term is bounded per
+    bucket — the 10^12-vector shape, identical to
+    :func:`kgforge.similarity.embedding_near_dup`.  Scores are
+    cosine rounded to 4 decimals (the module-wide total order, ties
+    broken by neighbor id ascending), so top-k selection is
+    deterministic and engine-independent.
+
+    The graph is the backbone the analytics below run on —
+    embedding-space cluster structure for dedup triage, hub
+    detection, and link prediction over near-duplicate candidates.
+    """
+    if dim is None:
+        probe = embeddings.select(F.size(vec_col).alias("d")).head()
+        if probe is None:
+            raise ValueError("knn_graph: empty embeddings input")
+        dim = probe.d
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        bucket_id_col(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.id") != F.col("y.id")),
+    ).select(
+        F.col("x.id").alias("a"),
+        F.col("y.id").alias("nb"),
+        F.round(
+            _dot(F.col("x.vec"), F.col("y.vec"))
+            / (_norm(F.col("x.vec")) * _norm(F.col("y.vec"))),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("nb"))
+    topk = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    return topk.select(
+        F.least("a", "nb").alias("src"),
+        F.greatest("a", "nb").alias("dst"),
+        F.col("score"),
+    ).distinct()
+
+
+def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank over the undirected graph.
+
+    Ranks are 64-bit integers in units of ``1/scale`` (``rank_fp``);
+    one iteration is::
+
+        contrib(v) = rank(v) div degree(v)           -- integer div
+        rank'(v)   = (15*scale) div 100
+                   + (85 * sum(contrib(u) for u->v)) div 100
+
+    All arithmetic is integral, so the per-node contribution sum is
+    associative — the result is bit-identical across partitionings,
+    executor counts, and engines (IEEE float sums are not, which is
+    why float PageRank can never be hash-graded).  The quantization
+    error vs. real-valued PageRank is < iterations/scale per node.
+
+    Scale shape: ``sym`` and ``deg`` materialize once; each round is
+    one equi-join on uniform vertex ids plus one partially-aggregated
+    groupBy (map-side combine absorbs hub-vertex skew — a hot vertex's
+    incoming contributions combine per partition before the shuffle).
+    Per-round lineage is cut with an eager ``localCheckpoint`` so the
+    driver's plan stays O(1) in rounds.  Overflow bound: the total
+    mass is ``n_nodes * scale``, so ``85 * sum`` must stay below
+    2^63 — at 10^12 nodes drop ``scale`` to 10^5 (the docstring
+    contract, asserted cheaply below against the node count).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    sym = _symmetric(edges, src, dst).localCheckpoint()
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+    n_nodes = deg.count()
+    if 85 * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"pagerank: 85 * n_nodes({n_nodes}) * scale({scale}) "
+            "overflows int64 — lower `scale`"
+        )
+    base = scale * 15 // 100
+    ranks = deg.select("u", F.lit(scale).cast("long").alias("rank"))
+    with _small_graph_exec(edges.sparkSession, n_nodes):
+        for _ in range(iterations):
+            contrib = (
+                sym.join(ranks, "u")
+                .join(deg, "u")
+                .select(
+                    F.col("v").alias("u"),
+                    F.expr("rank div deg").alias("c"),
+                )
+            )
+            sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+            ranks = (
+                deg.select("u")
+                .join(sums, "u", "left")
+                .select(
+                    "u",
+                    (
+                        F.lit(base)
+                        + F.expr("(85 * coalesce(s, 0L)) div 100")
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint()
+            )
+    return ranks.select(
+        F.col("u").alias("id"), F.col("rank").alias("rank_fp")
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts (compact-forward enumeration).
+
+    Edges are re-oriented from the endpoint with the smaller
+    ``(degree, id)`` key to the larger before the wedge join — the
+    standard skew bound: every oriented out-neighborhood is
+    O(sqrt(m)) regardless of hub degrees, so the middle-vertex join
+    below cannot quadratically explode on a celebrity vertex the way
+    the naive (src=dst) self-join does.  Each triangle is counted
+    exactly once as a->b->c with a->c; the per-vertex count is
+    orientation-invariant, which is what the SQL oracle relies on
+    (it uses plain id-ordering — same triangle set).
+
+    Output: one row per vertex that appears in ``edges`` with its
+    triangle membership count (0 for triangle-free vertices).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = _symmetric(edges, src, dst).groupBy("u").agg(
+        F.count("*").alias("deg")
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("_db"))
+    keyed = e.join(da, "a").join(db, "b")
+    fwd_cond = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    fwd = keyed.select(
+        F.when(fwd_cond, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd_cond, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    e1 = fwd.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = fwd.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    counts = members.groupBy("id").agg(F.count("*").alias("n_triangles"))
+    return (
+        deg.select(F.col("u").alias("id"))
+        .join(counts, "id", "left")
+        .select(
+            "id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+        )
+    )
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum hop distance (<= ``k``) from ``seeds`` over the
+    undirected graph — frontier-expansion BFS, ``k`` rounds of one
+    equi-join each, visited set maintained by left-anti join so a
+    vertex is settled the first (= nearest) time it is reached.
+
+    ``seeds``: one column of vertex ids (any name).  Output:
+    ``(id, dist)`` for every vertex within ``k`` hops, seeds at 0.
+    Per-round lineage is checkpoint-cut like every iterative loop in
+    this codebase; the frontier is the only state and it only
+    shrinks once the ball stops growing.  This is the generalized
+    form of the reference's 1-hop neighborhood query
+    (storage/neo.go:476-549) — Q9 is ``k_hop(edges, seeds, 1)``.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    seed_col = seeds.columns[0]
+    sym = _symmetric(edges, src, dst).localCheckpoint()
+    dist = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist.select("id")
+    with _small_graph_exec(edges.sparkSession, sym.count()):
+        for hop in range(1, k + 1):
+            nxt = (
+                frontier.join(sym, frontier.id == sym.u)
+                .select(F.col("v").alias("id"))
+                .distinct()
+                .join(dist.select("id"), "id", "left_anti")
+                .withColumn("dist", F.lit(hop))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.unionByName(nxt).localCheckpoint()
+            frontier = nxt.select("id")
+    return dist
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top: int = 100,
+) -> DataFrame:
+    """Link prediction over an undirected graph: for every
+    NON-adjacent vertex pair with at least one common neighbor,
+    the common-neighbor count and neighborhood Jaccard — the two
+    classic closed-form link-prediction scores.  Over a near-dup
+    kNN graph this surfaces duplicate pairs the candidate generator
+    missed but the cluster structure implies.
+
+    Shape: one self-join of the symmetric adjacency on the shared
+    neighbor (wedge enumeration — the same bounded join class as
+    :func:`triangle_counts`), an anti-join against existing edges,
+    and a broadcast-sized degree join.  ``jaccard`` is a single IEEE
+    division of two exact integers, so it is bit-identical across
+    engines (sums of floats would not be).  Output is the top
+    ``top`` pairs by ``(cn desc, a, b)`` — a total order, so the cut
+    is deterministic.
+    """
+    sym = _symmetric(edges, src, dst)
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    s1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    s2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    wedges = s1.join(s2, "x").filter(F.col("a") < F.col("b"))
+    cn = wedges.groupBy("a", "b").agg(F.count("*").alias("cn"))
+    existing = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    )
+    cand = cn.join(existing, ["a", "b"], "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    scored = cand.join(da, "a").join(db, "b").select(
+        "a",
+        "b",
+        "cn",
+        "deg_a",
+        "deg_b",
+        (
+            F.col("cn")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+        ).alias("jaccard"),
+    )
+    return scored.orderBy(
+        F.desc("cn"), F.asc("a"), F.asc("b")
+    ).limit(top)

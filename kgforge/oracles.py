@@ -1395,6 +1395,132 @@ WHERE round(CAST(list_cosine_similarity(a.embedding, c.embedding)
             AS DOUBLE), 4) >= 0.4
 """
 
+    # ----- graph-analytics family over the kNN graph ------------------
+    # (__spark_entry__.q_knn_graph / q_graph_*): the graph is the
+    # LSH-bucketed approximate kNN graph (per-vector top-3 within its
+    # 5-plane bucket, symmetrized, canonical src < dst).  The md5-
+    # seeded hyperplanes are deterministic constants embedded here,
+    # exactly like the vector_lsh_topk oracle.
+    def _bucket_n(vec: str, n: int) -> str:
+        pl = _hyperplanes(64, n)
+        bits = []
+        for p in range(n):
+            lits = ", ".join(repr(float(x)) for x in pl[p])
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec}, [{lits}]) > 0 "
+                f"THEN {1 << (n - 1 - p)} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    # CTE body (no leading WITH so the recursive khop query can
+    # compose it under WITH RECURSIVE).
+    knng_body = f"""b AS (
+  SELECT vec_id, embedding, {_bucket_n('embedding', 5)} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS nb,
+         round(CAST(list_cosine_similarity(x.embedding, y.embedding)
+               AS DOUBLE), 4) AS score
+  FROM b x JOIN b y
+    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+),
+g AS (
+  SELECT DISTINCT least(a, nb) AS src, greatest(a, nb) AS dst, score
+  FROM (
+    SELECT a, nb, score,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY score DESC, nb ASC) AS rk
+    FROM cand
+  ) WHERE rk <= 3
+),
+sym AS (
+  SELECT src AS u, dst AS v FROM g
+  UNION ALL
+  SELECT dst, src FROM g
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)"""
+
+    q["knn_graph"] = f"WITH {knng_body}\nSELECT src, dst, score FROM g"
+
+    # Fixed-point integer PageRank, 10 unrolled iterations — the same
+    # integral recurrence as kgforge.graphops.pagerank (associative
+    # integer sums are the ONLY way a PageRank can hash-match across
+    # engines).  scale = 1e9; `//` is floor division (== Spark's
+    # `div` truncation — all values are positive).
+    pr_scale = 10**9
+    pr_base = pr_scale * 15 // 100
+    pr_iters = [f"it0 AS (SELECT u, CAST({pr_scale} AS BIGINT) AS pr FROM deg)"]
+    for i in range(1, 11):
+        pr_iters.append(f"""it{i} AS (
+  SELECT d.u, CAST({pr_base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT sym.v AS u, SUM(r.pr // dd.deg) AS s
+    FROM sym JOIN it{i - 1} r ON sym.u = r.u
+    JOIN deg dd ON sym.u = dd.u
+    GROUP BY sym.v
+  ) s ON s.u = d.u
+)""")
+    q["graph_pagerank"] = (
+        f"WITH {knng_body},\n"
+        + ",\n".join(pr_iters)
+        + "\nSELECT u AS vec_id, pr AS rank_fp FROM it10"
+    )
+
+    # Triangle membership counts.  The Spark side enumerates with a
+    # degree-ordered orientation (skew-bounded); the triangle SET is
+    # orientation-invariant, so plain id-ordering here must agree.
+    q["graph_triangles"] = f"""WITH {knng_body},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM g e1
+  JOIN g e2 ON e2.src = e1.dst
+  JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+mem AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM mem GROUP BY id)
+SELECT d.u AS vec_id, COALESCE(c.n, 0) AS n_triangles
+FROM deg d LEFT JOIN cnt c ON d.u = c.id
+"""
+
+    # 3-hop BFS ball from the minimum vertex id; MIN(dist) over all
+    # depth-bounded walks == the frontier BFS's settled distance.
+    q["graph_khop"] = f"""WITH RECURSIVE {knng_body},
+walk(id, dist) AS (
+  SELECT (SELECT MIN(src) FROM g), 0
+  UNION ALL
+  SELECT sym.v, w.dist + 1
+  FROM walk w JOIN sym ON sym.u = w.id
+  WHERE w.dist < 3
+)
+SELECT id AS vec_id, CAST(MIN(dist) AS INTEGER) AS dist
+FROM walk GROUP BY id
+"""
+
+    # Common-neighbor link prediction: top-100 non-adjacent pairs.
+    q["graph_linkpred"] = f"""WITH {knng_body},
+wedges AS (
+  SELECT s1.v AS a, s2.v AS b
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+),
+cn AS (SELECT a, b, COUNT(*) AS cn FROM wedges GROUP BY a, b),
+lp_cand AS (
+  SELECT cn.a, cn.b, cn.cn FROM cn
+  ANTI JOIN g ON g.src = cn.a AND g.dst = cn.b
+)
+SELECT c.a AS id_a, c.b AS id_b, c.cn,
+       da.deg AS deg_a, db.deg AS deg_b,
+       c.cn / (da.deg + db.deg - c.cn) AS jaccard
+FROM lp_cand c
+JOIN deg da ON da.u = c.a
+JOIN deg db ON db.u = c.b
+ORDER BY c.cn DESC, c.a, c.b LIMIT 100
+"""
+
     # IVF ANN parity (__spark_entry__.q_vector_ivf_topk): the seeded
     # codebook is the embeddings of vec_id 0..7; cell assignment =
     # nearest centroid by cosine rounded to 4 decimals, ties -> lowest

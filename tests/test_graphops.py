@@ -1,0 +1,176 @@
+"""Graph-analytics family (kgforge.graphops): exact semantics on
+hand-built graphs, determinism across partitionings, and the
+no-cartesian plan guarantee for kNN-graph construction."""
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.graphops import (
+    common_neighbor_scores,
+    k_hop,
+    knn_graph,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _ref_pagerank(pairs, iters, scale):
+    """The identical integer recurrence in plain Python — bit-exact
+    reference for the distributed implementation."""
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    r = {v: scale for v in adj}
+    base = scale * 15 // 100
+    for _ in range(iters):
+        s = {v: 0 for v in adj}
+        for v, ns in adj.items():
+            c = r[v] // deg[v]
+            for n in ns:
+                s[n] += c
+        r = {v: base + (85 * s[v]) // 100 for v in adj}
+    return r
+
+
+# a lollipop: triangle 1-2-3 with a tail 3-4-5-6
+LOLLIPOP = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)]
+
+
+def test_pagerank_matches_python_int_reference(spark):
+    got = {
+        r.id: r.rank_fp
+        for r in pagerank(
+            _edges_df(spark, LOLLIPOP), iterations=7
+        ).collect()
+    }
+    assert got == _ref_pagerank(LOLLIPOP, 7, 10**9)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """The reason ranks are integer fixed-point: the SAME bits no
+    matter how the edges are partitioned (float sums would differ)."""
+    e = _edges_df(spark, LOLLIPOP)
+    a = sorted(map(tuple, pagerank(e, iterations=6).collect()))
+    b = sorted(
+        map(tuple, pagerank(e.repartition(7), iterations=6).collect())
+    )
+    assert a == b
+
+
+def test_pagerank_overflow_guard(spark):
+    with pytest.raises(ValueError, match="overflows int64"):
+        pagerank(_edges_df(spark, LOLLIPOP), iterations=1, scale=2**62)
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on 1-4 (four triangles, every vertex in three) + pendant 5
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = {
+        r.id: r.n_triangles
+        for r in triangle_counts(
+            _edges_df(spark, k4 + [(4, 5)])
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_counts_orientation_invariance(spark):
+    # reversed edge tuples (dst < src) must not change counts
+    rev = [(b, a) for a, b in LOLLIPOP]
+    got = {
+        r.id: r.n_triangles
+        for r in triangle_counts(_edges_df(spark, rev)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}
+
+
+def test_k_hop_distances_and_cutoff(spark):
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    got = {
+        r.id: r.dist
+        for r in k_hop(_edges_df(spark, LOLLIPOP), seeds, 3).collect()
+    }
+    # node 6 is 4 hops out -> absent; 2 and 3 both settle at 1 hop
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_k_hop_one_is_one_hop_neighborhood(spark):
+    seeds = spark.createDataFrame([(3,)], "seed long")
+    got = {
+        r.id: r.dist
+        for r in k_hop(_edges_df(spark, LOLLIPOP), seeds, 1).collect()
+    }
+    assert got == {3: 0, 1: 1, 2: 1, 4: 1}
+
+
+def test_common_neighbor_scores_square(spark):
+    # 4-cycle: both diagonals have cn=2, deg 2+2, jaccard 2/2 = 1.0
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    rows = common_neighbor_scores(_edges_df(spark, square)).collect()
+    got = {(r.a, r.b): (r.cn, r.deg_a, r.deg_b, r.jaccard) for r in rows}
+    assert got == {(1, 3): (2, 2, 2, 1.0), (2, 4): (2, 2, 2, 1.0)}
+
+
+def _fake_embeddings(spark, n=60, dim=8):
+    """Deterministic pseudo-random unit-free vectors via md5 — no RNG
+    state, same corpus on every run/partitioning."""
+
+    def comp(i, d):
+        h = hashlib.md5(f"v{i}:{d}".encode()).digest()
+        return (int.from_bytes(h[:8], "little") / 2**63) - 1.0
+
+    rows = [(i, [comp(i, d) for d in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_knn_graph_no_cartesian_and_canonical(spark):
+    emb = _fake_embeddings(spark)
+    g = knn_graph(emb, k=2, n_planes=3, dim=8)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = g.collect()
+    assert rows, "graph should be non-empty"
+    seen = set()
+    for r in rows:
+        assert r.src < r.dst
+        assert -1.0001 <= r.score <= 1.0001
+        seen.add((r.src, r.dst))
+    assert len(seen) == len(rows), "edges must be distinct"
+
+
+def test_knn_graph_partitioning_invariant(spark):
+    emb = _fake_embeddings(spark)
+    a = sorted(map(tuple, knn_graph(emb, 2, 3, dim=8).collect()))
+    b = sorted(
+        map(tuple, knn_graph(emb.repartition(5), 2, 3, dim=8).collect())
+    )
+    assert a == b
+
+
+def test_knn_graph_respects_buckets(spark):
+    """No edge may cross an LSH bucket boundary — candidates come
+    from the bucket equi-join only (the linear scale shape)."""
+    from kgforge.similarity import bucket_id_col
+
+    emb = _fake_embeddings(spark)
+    bucket = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            bucket_id_col(F.col("embedding"), 8, 3).alias("b"),
+        ).collect()
+    }
+    for r in knn_graph(emb, 2, 3, dim=8).collect():
+        assert bucket[r.src] == bucket[r.dst]
