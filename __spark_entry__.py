@@ -760,6 +760,72 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _bpe_vocab(spark, sf_dir):
+    """Trained BPE vocabulary over the sf_dir corpus — memoized (the
+    distributed frequency pass + driver merge loop runs once per
+    session/sf_dir; both bpe_* rows share it)."""
+
+    def build():
+        from kgforge.bpetrain import train_bpe_from_corpus
+
+        vocab = train_bpe_from_corpus(_docs(spark, sf_dir), n_merges=60)
+        return vocab, []
+
+    return _memo(spark, sf_dir, "bpe_vocab", build)
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary training: corpus-scale pre-token
+    frequency pass (mapInPandas with per-batch Counter combine) ->
+    driver-side merge loop on the aggregated Zipf table.  Rows-only
+    check: BPE training is inherently sequential-iterative and
+    data-dependent — each merge depends on the table state after the
+    previous one — so no single SQL statement can express it; the
+    bit-exactness evidence is pytest vs an independent naive
+    reference trainer (tests/test_bpetrain.py)."""
+    import base64
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = sorted(
+        (rank, base64.b64encode(tok).decode("ascii"))
+        for tok, rank in vocab.items()
+        if rank >= 256
+    )
+    return spark.createDataFrame(merges, "rank int, token_b64 string")
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-doc token counts under the corpus-trained BPE vocabulary —
+    the Arrow-batched encode path (broadcast vocab, one BPE instance
+    per batch iterator, never per row).  Rows-only, same reason as
+    bpe_train."""
+    from kgforge.bpe import BPE
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    bcast = spark.sparkContext.broadcast(vocab)
+
+    def enc(batches):
+        import pandas as pd
+
+        bpe = BPE(bcast.value)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": [
+                        len(bpe.encode(t)) if t else 0
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(enc, "doc_id long, n_bpe_tokens long")
+    )
+
+
 def _knn_graph_edges(spark, sf_dir):
     """Approximate kNN graph over the embeddings table (LSH-bucketed
     candidates, per-vector top-3, symmetrized) — memoized because it
@@ -817,6 +883,20 @@ def q_graph_khop(spark, sf_dir):
     seeds = g.agg(F.min("src").alias("seed"))
     return k_hop(g, seeds, 3).select(
         F.col("id").alias("vec_id"), "dist"
+    )
+
+
+def q_graph_components(spark, sf_dir):
+    """Weakly-connected components of the kNN similarity graph — the
+    embedding-space analog of the near-dup cluster closure (the SAME
+    operator: textops.connected_components over a different pair
+    generator), so the whole dedup toolchain composes over vector
+    similarity too."""
+    from kgforge.textops import connected_components
+
+    g = _knn_graph_edges(spark, sf_dir)
+    return connected_components(g, id_a="src", id_b="dst").select(
+        F.col("doc").alias("vec_id"), F.col("cluster")
     )
 
 
@@ -1411,10 +1491,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_ivf_topk": q_vector_ivf_topk,
         "vector_int8_topk": q_vector_int8_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "bpe_train": q_bpe_train,
+        "bpe_token_counts": q_bpe_token_counts,
         "knn_graph": q_knn_graph,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
+        "graph_components": q_graph_components,
         "graph_linkpred": q_graph_linkpred,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,

@@ -159,6 +159,14 @@ def main() -> None:
         "vector_ivf_topk",
         "vector_int8_topk",
         "embedding_near_dup",
+        "bpe_train",
+        "bpe_token_counts",
+        "knn_graph",
+        "graph_pagerank",
+        "graph_triangles",
+        "graph_khop",
+        "graph_components",
+        "graph_linkpred",
         "multimodal_decode",
         "multimodal_feature_topk",
         "ngram_jaccard",

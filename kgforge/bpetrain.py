@@ -1,0 +1,225 @@
+"""Distributed BPE vocabulary training.
+
+The reference *consumes* a BPE vocabulary (tiktoken via
+internal/helper.go:39-72, HF via llm/bpetokenizer.go:36-195); this
+module closes the loop by *producing* one from a corpus — the
+tokenizer-training step a large-scale training-data pipeline runs
+before anything else, and the piece that lets :mod:`kgforge.bpe`'s
+rank-exact engine run against a vocabulary of realistic size inside
+this offline sandbox.
+
+Architecture (the shape every production trainer uses — HF
+tokenizers, SentencePiece):
+
+1. **The corpus-scale pass is distributed**: pre-tokenize every
+   document with the SAME split pattern the encoder uses
+   (:data:`kgforge.bpe.O200K_ISH_SPLIT` — train/encode pre-tokenizer
+   mismatch silently corrupts a vocabulary) and aggregate a
+   ``(pre-token, count)`` frequency table.  Python-regex exactness
+   forces a UDF, so it runs as ``mapInPandas`` with per-batch
+   ``Counter`` pre-aggregation — each Arrow batch emits its local
+   counts and the shuffle moves the tiny combined table, not the
+   corpus (map-side combine in Python, then an exact groupBy-sum).
+2. **The merge loop is sequential by nature** (merge *i* depends on
+   the table state after merge *i-1*) and runs driver-side on the
+   aggregated Zipf table — bounded by ``max_words`` (kept by
+   ``(count desc, word asc)`` — a total order, so the cap is
+   deterministic), NOT by corpus size.  At 100 TB the frequency
+   table is 10^7-10^8 rows where the corpus is 10^12 docs; this is
+   the standard asymmetry, not a shortcut.
+
+Determinism: pair selection is ``(count desc, merged-bytes asc)`` —
+a total order with no hash/iteration-order dependence, so the same
+corpus yields the same vocabulary bit-for-bit on any cluster layout.
+The trained vocabulary is encoder-compatible by construction: ranks
+follow merge order, so the encoder's greedy lowest-rank merging
+replays training exactly (the GPT-2 BPE property).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from typing import Dict, Iterable, Iterator, List, Tuple
+
+from pyspark.sql import DataFrame
+
+from kgforge.bpe import O200K_ISH_SPLIT
+
+__all__ = [
+    "word_frequencies",
+    "train_bpe",
+    "train_bpe_from_corpus",
+    "save_tiktoken",
+]
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact pre-token frequency table over a corpus: one corpus
+    scan, per-Arrow-batch ``Counter`` pre-aggregation inside the UDF
+    (the Python-side map combine), then a groupBy-sum of the already
+    tiny per-batch tables.  Output: ``(word string, n long)``.
+    """
+    import pandas as pd
+
+    def count_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        counts: Counter = Counter()
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text:
+                    counts.update(O200K_ISH_SPLIT.findall(text))
+        if counts:
+            yield pd.DataFrame(
+                {"word": list(counts.keys()), "n": list(counts.values())}
+            )
+
+    per_batch = docs.select(text_col).mapInPandas(
+        count_batches, "word string, n long"
+    )
+    return per_batch.groupBy("word").sum("n").withColumnRenamed(
+        "sum(n)", "n"
+    )
+
+
+def _select_pair(
+    pair_counts: Dict[Tuple[bytes, bytes], int], min_count: int
+) -> Tuple[bytes, bytes] | None:
+    """Deterministic merge choice: highest count, ties broken by the
+    lexicographically smallest merged byte string (then left part) —
+    a total order independent of dict iteration order."""
+    best = None
+    best_key = None
+    for pair, n in pair_counts.items():
+        if n < min_count:
+            continue
+        key = (-n, pair[0] + pair[1], pair[0])
+        if best_key is None or key < best_key:
+            best_key = key
+            best = pair
+    return best
+
+
+def train_bpe(
+    word_counts: Iterable[Tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> Dict[bytes, int]:
+    """Classic byte-level BPE training over a word-frequency table.
+
+    Starts from the 256 single-byte tokens (ranks 0-255) and performs
+    up to ``n_merges`` merges; each merge joins the currently
+    most-frequent adjacent token pair (weighted by word counts) and
+    is assigned the next rank.  Stops early when no pair reaches
+    ``min_pair_count``.  Pair counts are maintained incrementally —
+    only words containing the merged pair are re-scanned per round,
+    so the loop is near-linear in practice on a Zipf table.
+
+    Returns a tiktoken-style ``{token_bytes: rank}`` vocabulary that
+    :class:`kgforge.bpe.BPE` consumes directly.
+    """
+    vocab: Dict[bytes, int] = {bytes([b]): b for b in range(256)}
+    # words as mutable token lists + their corpus counts
+    words: List[List[bytes]] = []
+    counts: List[int] = []
+    for w, n in word_counts:
+        if n <= 0:
+            continue
+        b = w.encode("utf-8")
+        words.append([bytes([x]) for x in b])
+        counts.append(int(n))
+
+    pair_counts: Dict[Tuple[bytes, bytes], int] = defaultdict(int)
+    where: Dict[Tuple[bytes, bytes], set] = defaultdict(set)
+    for i, toks in enumerate(words):
+        for a, b in zip(toks, toks[1:]):
+            pair_counts[(a, b)] += counts[i]
+            where[(a, b)].add(i)
+
+    next_rank = 256
+    for _ in range(n_merges):
+        pair = _select_pair(pair_counts, min_pair_count)
+        if pair is None:
+            break
+        merged = pair[0] + pair[1]
+        vocab[merged] = next_rank
+        next_rank += 1
+        # re-tokenize ONLY the words that contain the pair, keeping
+        # the inverted index + pair counts in sync
+        for i in sorted(where.pop(pair, ())):
+            toks = words[i]
+            n = counts[i]
+            for a, b in zip(toks, toks[1:]):
+                pc = pair_counts[(a, b)]
+                if pc <= n:
+                    pair_counts.pop((a, b), None)
+                else:
+                    pair_counts[(a, b)] = pc - n
+                w = where.get((a, b))
+                if w is not None:
+                    w.discard(i)
+                    if not w:
+                        del where[(a, b)]
+            out: List[bytes] = []
+            j = 0
+            while j < len(toks):
+                if (
+                    j + 1 < len(toks)
+                    and toks[j] == pair[0]
+                    and toks[j + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            words[i] = out
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += n
+                where[(a, b)].add(i)
+        if pair in pair_counts:  # fully consumed by the merge
+            del pair_counts[pair]
+    return vocab
+
+
+def train_bpe_from_corpus(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+    min_pair_count: int = 2,
+    max_words: int = 1_000_000,
+) -> Dict[bytes, int]:
+    """End-to-end: distributed frequency pass, driver-side merge
+    loop.  The collect here is of the AGGREGATED frequency table
+    capped at ``max_words`` by ``(count desc, word asc)`` — the
+    deterministic head of the Zipf distribution — never the corpus.
+    """
+    from pyspark.sql import functions as F
+
+    freq = word_frequencies(docs, text_col).filter(
+        F.col("n") >= min_count
+    )
+    rows = (
+        freq.orderBy(F.desc("n"), F.asc("word"))
+        .limit(max_words)
+        .collect()
+    )
+    return train_bpe(
+        ((r.word, r.n) for r in rows),
+        n_merges=n_merges,
+        min_pair_count=min_pair_count,
+    )
+
+
+def save_tiktoken(vocab: Dict[bytes, int], path: str) -> None:
+    """Write the public ``.tiktoken`` format (``base64(token) rank``
+    per line) — loadable by :func:`kgforge.bpe.load_tiktoken_vocab`
+    and by the upstream tiktoken runtime."""
+    import base64
+
+    with open(path, "wb") as fh:
+        for token, rank in sorted(vocab.items(), key=lambda kv: kv[1]):
+            fh.write(base64.b64encode(token) + b" %d\n" % rank)

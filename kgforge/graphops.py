@@ -158,16 +158,16 @@ def pagerank(
             "overflows int64 — lower `scale`"
         )
     base = scale * 15 // 100
+    # Fold the source degree into the adjacency ONCE — each round
+    # then needs a single equi-join with the rank frame instead of
+    # two (deg is rank-independent, so this is loop-invariant).
+    sym_deg = sym.join(deg, "u").localCheckpoint()
     ranks = deg.select("u", F.lit(scale).cast("long").alias("rank"))
     with _small_graph_exec(edges.sparkSession, n_nodes):
         for _ in range(iterations):
-            contrib = (
-                sym.join(ranks, "u")
-                .join(deg, "u")
-                .select(
-                    F.col("v").alias("u"),
-                    F.expr("rank div deg").alias("c"),
-                )
+            contrib = sym_deg.join(ranks, "u").select(
+                F.col("v").alias("u"),
+                F.expr("rank div deg").alias("c"),
             )
             sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
             ranks = (

@@ -1501,6 +1501,24 @@ SELECT id AS vec_id, CAST(MIN(dist) AS INTEGER) AS dist
 FROM walk GROUP BY id
 """
 
+    # Weakly-connected components of the kNN graph — the embedding-
+    # space cluster closure; same recursive-closure oracle shape as
+    # dedup_clusters (every vertex appears in g, so no singleton
+    # coalesce is needed).
+    q["graph_components"] = f"""WITH RECURSIVE {knng_body},
+e AS (
+  SELECT src AS a, dst AS b FROM g
+  UNION
+  SELECT dst, src FROM g
+),
+reach(s, d) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT r.s, e2.b FROM reach r JOIN e e2 ON r.d = e2.a
+)
+SELECT s AS vec_id, MIN(d) AS cluster FROM reach GROUP BY s
+"""
+
     # Common-neighbor link prediction: top-100 non-adjacent pairs.
     q["graph_linkpred"] = f"""WITH {knng_body},
 wedges AS (

@@ -1,0 +1,129 @@
+"""BPE vocabulary training (kgforge.bpetrain): bit-exactness vs an
+independent naive reference trainer, encoder compatibility of the
+trained vocabulary, determinism, and the tiktoken save/load loop."""
+
+from collections import Counter
+
+from kgforge.bpe import BPE, O200K_ISH_SPLIT, load_tiktoken_vocab
+from kgforge.bpetrain import (
+    save_tiktoken,
+    train_bpe,
+    train_bpe_from_corpus,
+    word_frequencies,
+)
+
+
+def _naive_train(word_counts, n_merges, min_pair_count=2):
+    """Quadratic reference: recount every pair from scratch each
+    round.  Independent of the incremental bookkeeping under test —
+    shares only the selection total order (count desc, merged bytes
+    asc, left part asc)."""
+    words = [
+        ([bytes([x]) for x in w.encode("utf-8")], int(n))
+        for w, n in word_counts
+        if n > 0
+    ]
+    vocab = {bytes([b]): b for b in range(256)}
+    rank = 256
+    for _ in range(n_merges):
+        pc = Counter()
+        for toks, n in words:
+            for p in zip(toks, toks[1:]):
+                pc[p] += n
+        eligible = [(p, c) for p, c in pc.items() if c >= min_pair_count]
+        if not eligible:
+            break
+        best = min(
+            eligible, key=lambda t: (-t[1], t[0][0] + t[0][1], t[0][0])
+        )[0]
+        merged = best[0] + best[1]
+        vocab[merged] = rank
+        rank += 1
+        for idx, (toks, n) in enumerate(words):
+            out, j = [], 0
+            while j < len(toks):
+                if (
+                    j + 1 < len(toks)
+                    and toks[j] == best[0]
+                    and toks[j + 1] == best[1]
+                ):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            words[idx] = (out, n)
+    return vocab
+
+
+WORDS = [
+    ("the", 50),
+    ("there", 12),
+    ("then", 9),
+    ("than", 7),
+    ("banana", 6),
+    ("bandana", 4),
+    (" spark", 11),
+    (" sparkle", 3),
+    ("aaaa", 5),  # overlapping-run pair counting
+    ("éclair", 4),  # multi-byte UTF-8
+    ("zzz", 1),
+]
+
+
+def test_train_matches_naive_reference():
+    got = train_bpe(WORDS, n_merges=40)
+    want = _naive_train(WORDS, n_merges=40)
+    assert got == want
+
+
+def test_train_stops_when_no_pair_qualifies():
+    vocab = train_bpe([("abc", 1), ("xyz", 1)], n_merges=10)
+    assert len(vocab) == 256  # nothing reaches min_pair_count=2
+
+
+def test_trained_vocab_is_encoder_compatible():
+    vocab = train_bpe(WORDS, n_merges=30)
+    bpe = BPE(vocab)
+    text = "the bandana there sparkles"
+    ids = bpe.encode(text)
+    assert bpe.decode(ids) == text  # lossless
+    # merges actually apply: fewer tokens than bytes
+    assert len(ids) < len(text.encode("utf-8"))
+    # a frequent training word compresses to very few tokens
+    assert len(bpe.encode("the")) == 1
+
+
+def test_tiktoken_save_load_roundtrip(tmp_path):
+    vocab = train_bpe(WORDS, n_merges=25)
+    path = str(tmp_path / "trained.tiktoken")
+    save_tiktoken(vocab, path)
+    assert load_tiktoken_vocab(path) == vocab
+
+
+def test_word_frequencies_exact_and_partition_invariant(spark):
+    texts = [
+        "the quick the lazy", "the the the", "spark spark!", ""
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = Counter()
+    for t in texts:
+        want.update(O200K_ISH_SPLIT.findall(t))
+    got = {
+        r.word: r.n for r in word_frequencies(docs).collect()
+    }
+    assert got == dict(want)
+    got2 = {
+        r.word: r.n
+        for r in word_frequencies(docs.repartition(5)).collect()
+    }
+    assert got2 == dict(want)
+
+
+def test_train_from_corpus_deterministic(spark):
+    texts = [("alpha beta alpha",), ("beta gamma beta alpha",)] * 4
+    docs = spark.createDataFrame(texts, "text string")
+    v1 = train_bpe_from_corpus(docs, n_merges=15)
+    v2 = train_bpe_from_corpus(docs.repartition(7), n_merges=15)
+    assert v1 == v2
+    assert len(v1) > 256  # some merges happened
