@@ -101,6 +101,27 @@ def test_tiktoken_save_load_roundtrip(tmp_path):
     assert load_tiktoken_vocab(path) == vocab
 
 
+def test_trained_vocab_routes_through_tokenizer(tmp_path, monkeypatch):
+    """End-to-end train -> save -> KGFORGE_BPE_PATH -> the shared
+    tokenizer facade the chunkers use: integer ids, lossless decode,
+    trained merges applied."""
+    from kgforge import tokenizer
+    from kgforge.bpe import default_bpe
+
+    vocab = train_bpe(WORDS, n_merges=30)
+    path = str(tmp_path / "trained.tiktoken")
+    save_tiktoken(vocab, path)
+    monkeypatch.setenv("KGFORGE_BPE_PATH", path)
+    default_bpe.cache_clear()
+    try:
+        ids = tokenizer.encode("the banana there")
+        assert ids and all(isinstance(t, int) for t in ids)
+        assert tokenizer.decode(ids) == "the banana there"
+        assert tokenizer.count_tokens("the") == 1
+    finally:
+        default_bpe.cache_clear()
+
+
 def test_word_frequencies_exact_and_partition_invariant(spark):
     texts = [
         "the quick the lazy", "the the the", "spark spark!", ""

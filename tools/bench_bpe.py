@@ -1,0 +1,129 @@
+"""BPE-at-realistic-vocab-size leg: train a few-thousand-merge
+vocabulary from a synthesized high-diversity Zipf corpus, then
+measure the Arrow-batched encode path's throughput at two
+parallelism levels.
+
+This is the closest offline proxy for "tokenizer parity at o200k
+scale" available in this sandbox (no public vocab file ships here —
+see kgforge/bpe.py): the ENGINE runs the same rank-exact merge loop
+whatever the vocabulary, so what matters is (a) training scales via
+the frequency-table asymmetry and (b) encode throughput at a
+realistic merge count, Arrow batch in, Arrow batch out.
+
+Usage: python tools/bench_bpe.py [n_docs] [n_merges]
+Appends a row to BENCH.md is left to the operator; prints JSON.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def synth_corpus(spark, n_docs: int, words_per_doc: int = 300):
+    """Deterministic Zipf-ish corpus with a ~30k-word vocabulary of
+    md5-derived pseudo-words — enough pair repetition to train
+    thousands of merges, enough diversity that the vocabulary is
+    realistic (unlike the tiny harness vocab)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = []
+            for d in pdf["id"]:
+                ws = []
+                for j in range(words_per_doc):
+                    h = hashlib.md5(f"{d}:{j}".encode()).digest()
+                    u = int.from_bytes(h[:8], "little") / 2**64
+                    wid = int(30000 * u * u)  # quadratic skew
+                    wh = hashlib.md5(f"w{wid}".encode()).hexdigest()
+                    ws.append(wh[: 3 + wid % 6])
+                texts.append(" ".join(ws))
+            yield pd.DataFrame({"doc_id": pdf["id"], "text": texts})
+
+    return (
+        spark.range(n_docs)
+        .repartition(64)
+        .mapInPandas(gen, "doc_id long, text string")
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+
+    from pyspark.sql import functions as F
+
+    from kgforge.bpe import BPE
+    from kgforge.bpetrain import train_bpe_from_corpus
+    from kgforge.session import build_session
+
+    results: dict = {"n_docs": n_docs, "n_merges_requested": n_merges}
+
+    spark = build_session("bench-bpe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = synth_corpus(spark, n_docs).persist()
+    n_bytes = corpus.select(
+        F.sum(F.length("text")).alias("b")
+    ).head().b
+    results["corpus_mb"] = round(n_bytes / 1e6, 1)
+
+    t0 = time.perf_counter()
+    vocab = train_bpe_from_corpus(corpus, n_merges=n_merges)
+    results["train_sec"] = round(time.perf_counter() - t0, 2)
+    results["n_merges_trained"] = len(vocab) - 256
+
+    def encode_counts(bcast):
+        def enc(batches):
+            import pandas as pd
+
+            bpe = BPE(bcast.value)
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n": [len(bpe.encode(t)) for t in pdf["text"]],
+                    }
+                )
+
+        return enc
+
+    bcast = spark.sparkContext.broadcast(vocab)
+    for tag, cores in (("encode_4core", 4), ("encode_16core", 16)):
+        part = corpus.coalesce(cores)
+        # warm the python workers + JIT-free path once
+        part.mapInPandas(
+            encode_counts(bcast), "doc_id long, n long"
+        ).select(F.sum("n")).head()
+        t0 = time.perf_counter()
+        total = (
+            part.mapInPandas(encode_counts(bcast), "doc_id long, n long")
+            .select(F.sum("n").alias("n"))
+            .head()
+            .n
+        )
+        dt = time.perf_counter() - t0
+        results[tag] = {
+            "sec": round(dt, 2),
+            "mb_per_sec": round(n_bytes / 1e6 / dt, 1),
+            "tokens": int(total),
+        }
+        # NOTE: coalesce caps parallelism without a shuffle — exactly
+        # `cores` partitions in flight on the local[32] session, so
+        # the pair approximates a 4-vs-16-core cluster for an
+        # embarrassingly parallel map.
+
+    r4, r16 = results["encode_4core"], results["encode_16core"]
+    results["encode_scaling_eff_4_to_16"] = round(
+        (r16["mb_per_sec"] / r4["mb_per_sec"]) / 4, 3
+    )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
