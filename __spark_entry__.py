@@ -760,6 +760,31 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _events(spark, sf_dir):
+    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (30-min gap):
+    one hash exchange on user_id, streaming window state, exact
+    integer epochs throughout — the behavioral-log prep operator."""
+    from kgforge.sessionize import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_session_funnel(spark, sf_dir):
+    """First-touch ordered funnel (view -> click -> purchase) over
+    sessions: per-session reach chain computed by one JVM
+    higher-order fold over the time-sorted event array — no
+    self-joins, bounded per-session state."""
+    from kgforge.sessionize import session_funnel
+
+    return session_funnel(
+        _events(spark, sf_dir), ["view", "click", "purchase"], 30
+    )
+
+
 def _bpe_vocab(spark, sf_dir):
     """Trained BPE vocabulary over the sf_dir corpus — memoized (the
     distributed frequency pass + driver merge loop runs once per
@@ -1491,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_ivf_topk": q_vector_ivf_topk,
         "vector_int8_topk": q_vector_int8_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "sessionize": q_sessionize,
+        "session_funnel": q_session_funnel,
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
         "knn_graph": q_knn_graph,

@@ -161,6 +161,8 @@ def main() -> None:
         "embedding_near_dup",
         "bpe_train",
         "bpe_token_counts",
+        "sessionize",
+        "session_funnel",
         "knn_graph",
         "graph_pagerank",
         "graph_triangles",

@@ -1395,6 +1395,67 @@ WHERE round(CAST(list_cosine_similarity(a.embedding, c.embedding)
             AS DOUBLE), 4) >= 0.4
 """
 
+    # ----- event sessionization (__spark_entry__.q_sessionize) --------
+    # Gap-based sessions: break when the per-user gap exceeds 30 min;
+    # session index = running count of breaks.  All integers (epoch
+    # micros), so hash-exactness is structural.
+    _sess_cte = """s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sx AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM s
+)"""
+
+    q["sessionize"] = f"""WITH {_sess_cte}
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+FROM sx GROUP BY user_id, session_idx
+"""
+
+    # First-touch funnel view -> click -> purchase: reach_i = the
+    # earliest event of step i STRICTLY after reach_(i-1) in the same
+    # session (mirrors the fold's pre-event-state semantics).
+    q["session_funnel"] = f"""WITH {_sess_cte},
+r0 AS (
+  SELECT user_id, session_idx,
+         MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS reach0
+  FROM sx GROUP BY user_id, session_idx
+),
+r1 AS (
+  SELECT x.user_id, x.session_idx,
+         MIN(epoch_us(x.ts)) FILTER (
+           WHERE x.event_type = 'click' AND epoch_us(x.ts) > r0.reach0
+         ) AS reach1
+  FROM sx x JOIN r0 USING (user_id, session_idx)
+  GROUP BY x.user_id, x.session_idx, r0.reach0
+),
+r2 AS (
+  SELECT x.user_id, x.session_idx,
+         MIN(epoch_us(x.ts)) FILTER (
+           WHERE x.event_type = 'purchase' AND epoch_us(x.ts) > r1.reach1
+         ) AS reach2
+  FROM sx x JOIN r1 USING (user_id, session_idx)
+  GROUP BY x.user_id, x.session_idx, r1.reach1
+)
+SELECT 'view' AS step, 0 AS step_idx,
+       (SELECT COUNT(reach0) FROM r0) AS n_sessions
+UNION ALL
+SELECT 'click', 1, (SELECT COUNT(reach1) FROM r1)
+UNION ALL
+SELECT 'purchase', 2, (SELECT COUNT(reach2) FROM r2)
+"""
+
     # ----- graph-analytics family over the kNN graph ------------------
     # (__spark_entry__.q_knn_graph / q_graph_*): the graph is the
     # LSH-bucketed approximate kNN graph (per-vector top-3 within its

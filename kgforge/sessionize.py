@@ -1,0 +1,166 @@
+"""Event sessionization — gap-based session assignment over an
+event stream, the standard prep step for turning behavioral logs
+into training examples (and the batch analog of the watermarked
+streaming aggregation in :mod:`kgforge.streaming`).
+
+Semantics: events of one user, ordered by ``(ts, event_id)``, belong
+to the same session while consecutive gaps are <= ``gap_minutes``;
+a larger gap starts the next session.  Session index is the running
+count of gap breaks — a per-user monotone integer, so output is
+deterministic for any tie pattern (the composite order key breaks
+equal timestamps).
+
+Scale shape: ONE hash partition by ``user_id`` and a sort within —
+both window functions (lag, running sum) evaluate streaming over the
+sorted run, state O(1) per user, so the operator is a single
+exchange end-to-end and the aggregation rides the same partitioning.
+Skew: a pathological bot user serializes its own run (inherent —
+session assignment is a sequential scan of that user's history);
+mitigation at 10^12 events is pre-splitting such users by coarse
+time bucket and merging boundary sessions, which composes from this
+same operator applied per bucket.  All emitted quantities are exact
+integers (epoch microseconds, counts) — no float sums, so results
+hash-match any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["assign_sessions", "session_stats", "session_funnel"]
+
+
+def _micros(ts_col: str):
+    """Epoch microseconds of a timestamp column.  TIMESTAMP_NTZ (the
+    parquet type here) casts through TIMESTAMP under the session's
+    pinned UTC zone (kgforge.session), so the wall-clock value IS the
+    epoch value — matching DuckDB's epoch_us on naive timestamps."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+
+def assign_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-event session assignment: input columns plus
+    ``session_idx`` (1-based per user)."""
+    gap_us = int(gap_minutes) * 60_000_000
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(order_tiebreak)
+    )
+    us = _micros(ts_col)
+    prev = F.lag(us).over(w)
+    brk = F.when(
+        prev.isNull() | ((us - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(order_tiebreak)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_idx", F.sum(brk).over(run))
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per session: event count, start/end (epoch micros)
+    and duration — exact integers throughout.  The groupBy keys are
+    a superset of the window partition key, so Catalyst reuses the
+    sessionization exchange (no second shuffle)."""
+    us = _micros(ts_col)
+    return (
+        assign_sessions(events, gap_minutes, user_col, ts_col)
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+    )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str],
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel over sessions: for each prefix of ``steps``,
+    the number of sessions containing those event types in order
+    (step i+1 strictly after the FIRST qualifying occurrence chain —
+    the standard first-touch funnel).  Computed as one conditional
+    aggregation over the sessionized frame: per session, the
+    earliest timestamp of step 0, then the earliest step-1 event
+    after it, and so on — k min-aggregations fused into one pass,
+    no self-joins.  Output: ``(step, step_idx, n_sessions)``.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    us = _micros(ts_col)
+    sess = assign_sessions(events, gap_minutes, user_col, ts_col)
+    # One aggregation: per session, the time-ordered event array,
+    # then a JVM higher-order FOLD computing the reach chain —
+    # reach[i] = earliest micros at which the length-(i+1) step
+    # prefix completes (-1 = never).  Step i+1 must be STRICTLY
+    # after reach[i] (first-touch semantics); because the fold's
+    # transform reads the PRE-event state, one event can never
+    # satisfy two consecutive steps.  Session event lists are
+    # gap-bounded by construction, so the collected array is bounded
+    # per-key state (same argument as the merge reducer caps).
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    evs = F.array_sort(
+        F.collect_list(F.struct(us.alias("us"), F.col(type_col).alias("t")))
+    )
+
+    def fold_step(acc, e):
+        def upd(v, i):
+            prev_ok = F.when(i == 0, F.lit(True)).otherwise(
+                (F.element_at(acc, i) >= 0)
+                & (e["us"] > F.element_at(acc, i))
+            )
+            return F.when(v >= 0, v).when(
+                (e["t"] == F.element_at(steps_arr, i + 1)) & prev_ok,
+                e["us"],
+            ).otherwise(v)
+
+        return F.transform(acc, upd)
+
+    reach = F.aggregate(
+        evs, F.array_repeat(F.lit(-1).cast("long"), k), fold_step
+    )
+    per_session = sess.groupBy(user_col, "session_idx").agg(
+        reach.alias("_reach")
+    )
+    counts = per_session.select(
+        *[
+            F.sum(
+                F.when(F.element_at("_reach", i + 1) >= 0, 1).otherwise(0)
+            ).alias(f"n_{i}")
+            for i in range(k)
+        ]
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(step).alias("step"),
+                        F.lit(i).alias("step_idx"),
+                        F.col(f"n_{i}").alias("n_sessions"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.step", "r.step_idx", "r.n_sessions")

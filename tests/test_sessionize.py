@@ -1,0 +1,107 @@
+"""Sessionization semantics (kgforge.sessionize) on hand-built event
+fixtures: gap boundaries, exact integer stats, strict-order funnel."""
+
+from datetime import datetime, timedelta
+
+from kgforge.sessionize import (
+    assign_sessions,
+    session_funnel,
+    session_stats,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    # rows: (event_id, offset_seconds, user_id, event_type)
+    data = [
+        (eid, T0 + timedelta(seconds=off), uid, et)
+        for eid, off, uid, et in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_gap_boundaries_and_stats(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, "view"),
+            (2, 30, 1, "click"),      # 30 s gap -> same session
+            (3, 3700, 1, "view"),     # > 30 min -> new session
+            (4, 0, 2, "view"),        # other user, own session
+        ],
+    )
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us)
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert got == {
+        (1, 1): (2, 30_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (1, 0),
+    }
+    sess = {
+        r.event_id: r.session_idx
+        for r in assign_sessions(ev, 30).collect()
+    }
+    assert sess == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_equal_timestamps_break_by_event_id(spark):
+    # two events at the same ts: deterministic order by event_id,
+    # both in one session (gap 0 <= threshold)
+    ev = _events(spark, [(2, 0, 1, "a"), (1, 0, 1, "b")])
+    got = {
+        (r.user_id, r.session_idx): r.n_events
+        for r in session_stats(ev, 30).collect()
+    }
+    assert got == {(1, 1): 2}
+
+
+def test_funnel_strict_order_first_touch(spark):
+    ev = _events(
+        spark,
+        [
+            # s1 (user 1): full funnel in order
+            (1, 0, 1, "view"),
+            (2, 10, 1, "click"),
+            (3, 20, 1, "purchase"),
+            # s2 (user 2): click BEFORE view -> only step 0 reached
+            (4, 0, 2, "click"),
+            (5, 10, 2, "view"),
+            # s3 (user 3): view then purchase, no click -> step 0 only
+            (6, 0, 3, "view"),
+            (7, 10, 3, "purchase"),
+            # s4 (user 4): view and click at the SAME instant ->
+            # strict "after" excludes the click
+            (8, 0, 4, "view"),
+            (9, 0, 4, "click"),
+        ],
+    )
+    got = {
+        r.step: r.n_sessions
+        for r in session_funnel(
+            ev, ["view", "click", "purchase"], 30
+        ).collect()
+    }
+    assert got == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_funnel_repeated_attempts_use_first_touch(spark):
+    # first-touch: the EARLIEST view anchors; a click before it does
+    # not count, a later click does — even with an earlier failed pair
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, "click"),
+            (2, 10, 1, "view"),
+            (3, 20, 1, "click"),
+        ],
+    )
+    got = {
+        r.step: r.n_sessions
+        for r in session_funnel(ev, ["view", "click"], 30).collect()
+    }
+    assert got == {"view": 1, "click": 1}
