@@ -785,6 +785,25 @@ def q_session_funnel(spark, sf_dir):
     )
 
 
+def q_event_props_stats(spark, sf_dir):
+    """Semi-structured extraction: parse the events table's JSON
+    ``props`` column with an EXPLICIT schema (from_json — no
+    schema-inference pass, the only 100 TB-safe shape) and aggregate
+    the extracted field per event type.  Exact integers only."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.from_json("props", schema).alias("p")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("p.k").alias("n"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.sum("p.k").alias("sum_k"),
+    )
+
+
 def _bpe_vocab(spark, sf_dir):
     """Trained BPE vocabulary over the sf_dir corpus — memoized (the
     distributed frequency pass + driver merge loop runs once per
@@ -1518,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "sessionize": q_sessionize,
         "session_funnel": q_session_funnel,
+        "event_props_stats": q_event_props_stats,
         "bpe_train": q_bpe_train,
         "bpe_token_counts": q_bpe_token_counts,
         "knn_graph": q_knn_graph,

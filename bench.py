@@ -163,6 +163,7 @@ def main() -> None:
         "bpe_token_counts",
         "sessionize",
         "session_funnel",
+        "event_props_stats",
         "knn_graph",
         "graph_pagerank",
         "graph_triangles",

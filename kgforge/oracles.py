@@ -1456,6 +1456,18 @@ UNION ALL
 SELECT 'purchase', 2, (SELECT COUNT(reach2) FROM r2)
 """
 
+    # Semi-structured extraction parity: explicit-schema JSON field
+    # pull + integer aggregates per event type.
+    q["event_props_stats"] = """
+SELECT event_type,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events GROUP BY event_type
+"""
+
     # ----- graph-analytics family over the kNN graph ------------------
     # (__spark_entry__.q_knn_graph / q_graph_*): the graph is the
     # LSH-bucketed approximate kNN graph (per-vector top-3 within its

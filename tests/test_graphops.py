@@ -120,6 +120,125 @@ def test_common_neighbor_scores_square(spark):
     assert got == {(1, 3): (2, 2, 2, 1.0), (2, 4): (2, 2, 2, 1.0)}
 
 
+def _canon(pairs):
+    return sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+
+
+def test_pagerank_property_random_graphs(spark):
+    """Model-based: on random graphs the distributed fixed-point
+    recurrence must equal the pure-Python integer model bit-for-bit
+    (the determinism claim, exercised beyond the hand-built cases)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 10), st.integers(0, 10))
+    graphs = st.lists(edge, min_size=1, max_size=20)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(pairs=graphs)
+    def run(pairs):
+        pairs = _canon(pairs)
+        if not pairs:
+            return
+        got = {
+            r.id: r.rank_fp
+            for r in pagerank(
+                _edges_df(spark, pairs), iterations=3
+            ).collect()
+        }
+        assert got == _ref_pagerank(pairs, 3, 10**9)
+
+    run()
+
+
+def test_triangle_counts_property_random_graphs(spark):
+    """Degree-ordered enumeration vs brute-force membership counts
+    over all vertex triples."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+    graphs = st.lists(edge, min_size=1, max_size=22)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(pairs=graphs)
+    def run(pairs):
+        pairs = _canon(pairs)
+        if not pairs:
+            return
+        es = set(pairs)
+        nodes = sorted({v for e in pairs for v in e})
+        want = {v: 0 for v in nodes}
+        for a, b, c in combinations(nodes, 3):
+            if (
+                (a, b) in es and (b, c) in es and (a, c) in es
+            ):
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+        got = {
+            r.id: r.n_triangles
+            for r in triangle_counts(_edges_df(spark, pairs)).collect()
+        }
+        assert got == want
+
+    run()
+
+
+def test_k_hop_property_random_graphs(spark):
+    """Frontier BFS vs a pure-Python BFS from the minimum vertex."""
+    from collections import deque
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+    graphs = st.lists(edge, min_size=1, max_size=22)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(pairs=graphs)
+    def run(pairs):
+        pairs = _canon(pairs)
+        if not pairs:
+            return
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seed = min(adj)
+        want, q = {seed: 0}, deque([seed])
+        while q:
+            v = q.popleft()
+            if want[v] >= 2:
+                continue
+            for n in adj[v]:
+                if n not in want:
+                    want[n] = want[v] + 1
+                    q.append(n)
+        seeds = spark.createDataFrame([(seed,)], "seed long")
+        got = {
+            r.id: r.dist
+            for r in k_hop(_edges_df(spark, pairs), seeds, 2).collect()
+        }
+        assert got == want
+
+    run()
+
+
 def _fake_embeddings(spark, n=60, dim=8):
     """Deterministic pseudo-random unit-free vectors via md5 — no RNG
     state, same corpus on every run/partitioning."""
