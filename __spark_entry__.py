@@ -905,6 +905,20 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank from seed vertices {0, 1}: restart mass
+    concentrated on the seeds, ranking every vertex by proximity to
+    them — the whole-graph generalization of the reference's
+    seed-anchored retrieval.  Same integer fixed-point recurrence."""
+    from kgforge.graphops import pagerank
+
+    g = _knn_graph_edges(spark, sf_dir)
+    seeds = spark.createDataFrame([(0,), (1,)], "seed long")
+    return pagerank(g, iterations=10, seeds=seeds).select(
+        F.col("id").alias("vec_id"), "rank_fp"
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-vertex triangle counts via degree-ordered compact-forward
     enumeration (out-neighborhoods bounded O(sqrt(m)) after
@@ -1542,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "knn_graph": q_knn_graph,
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
         "graph_components": q_graph_components,

@@ -166,6 +166,7 @@ def main() -> None:
         "event_props_stats",
         "knn_graph",
         "graph_pagerank",
+        "graph_ppr",
         "graph_triangles",
         "graph_khop",
         "graph_components",

@@ -121,6 +121,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 10,
     scale: int = 10**9,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank over the undirected graph.
 
@@ -136,6 +137,13 @@ def pagerank(
     executor counts, and engines (IEEE float sums are not, which is
     why float PageRank can never be hash-graded).  The quantization
     error vs. real-valued PageRank is < iterations/scale per node.
+
+    With ``seeds`` (a one-column DataFrame of vertex ids) this is
+    PERSONALIZED PageRank: the restart mass lands only on the seed
+    vertices (base and initial rank are 0 elsewhere), ranking every
+    vertex by its proximity to the seed set — the whole-graph
+    generalization of the reference's seed-anchored retrieval
+    (vector top-k seeds -> graph neighborhoods, query.go).
 
     Scale shape: ``sym`` and ``deg`` materialize once; each round is
     one equi-join on uniform vertex ids plus one partially-aggregated
@@ -162,7 +170,32 @@ def pagerank(
     # then needs a single equi-join with the rank frame instead of
     # two (deg is rank-independent, so this is loop-invariant).
     sym_deg = sym.join(deg, "u").localCheckpoint()
-    ranks = deg.select("u", F.lit(scale).cast("long").alias("rank"))
+    # per-vertex restart mass: uniform, or concentrated on seeds
+    if seeds is None:
+        bases = deg.select(
+            "u",
+            F.lit(base).cast("long").alias("_base"),
+            F.lit(scale).cast("long").alias("_init"),
+        )
+    else:
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("u"))
+            .distinct()
+            .withColumn("_s", F.lit(True))
+        )
+        bases = (
+            deg.select("u")
+            .join(sd, "u", "left")
+            .select(
+                "u",
+                F.when(F.col("_s"), F.lit(base))
+                .otherwise(F.lit(0)).cast("long").alias("_base"),
+                F.when(F.col("_s"), F.lit(scale))
+                .otherwise(F.lit(0)).cast("long").alias("_init"),
+            )
+        )
+    bases = bases.localCheckpoint()
+    ranks = bases.select("u", F.col("_init").alias("rank"))
     with _small_graph_exec(edges.sparkSession, n_nodes):
         for _ in range(iterations):
             contrib = sym_deg.join(ranks, "u").select(
@@ -171,12 +204,11 @@ def pagerank(
             )
             sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
             ranks = (
-                deg.select("u")
-                .join(sums, "u", "left")
+                bases.join(sums, "u", "left")
                 .select(
                     "u",
                     (
-                        F.lit(base)
+                        F.col("_base")
                         + F.expr("(85 * coalesce(s, 0L)) div 100")
                     ).cast("long").alias("rank"),
                 )

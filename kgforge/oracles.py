@@ -1540,6 +1540,29 @@ deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)"""
         + "\nSELECT u AS vec_id, pr AS rank_fp FROM it10"
     )
 
+    # Personalized variant: restart mass only on seed vertices {0,1}
+    # (base and initial rank 0 elsewhere) — same integral recurrence.
+    ppr_base = f"CASE WHEN d.u IN (0, 1) THEN {pr_base} ELSE 0 END"
+    ppr_iters = [
+        f"it0 AS (SELECT u, CAST(CASE WHEN u IN (0, 1) THEN {pr_scale} "
+        "ELSE 0 END AS BIGINT) AS pr FROM deg)"
+    ]
+    for i in range(1, 11):
+        ppr_iters.append(f"""it{i} AS (
+  SELECT d.u, CAST({ppr_base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT sym.v AS u, SUM(r.pr // dd.deg) AS s
+    FROM sym JOIN it{i - 1} r ON sym.u = r.u
+    JOIN deg dd ON sym.u = dd.u
+    GROUP BY sym.v
+  ) s ON s.u = d.u
+)""")
+    q["graph_ppr"] = (
+        f"WITH {knng_body},\n"
+        + ",\n".join(ppr_iters)
+        + "\nSELECT u AS vec_id, pr AS rank_fp FROM it10"
+    )
+
     # Triangle membership counts.  The Spark side enumerates with a
     # degree-ordered orientation (skew-bounded); the triangle SET is
     # orientation-invariant, so plain id-ordering here must agree.

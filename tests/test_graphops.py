@@ -66,6 +66,41 @@ def test_pagerank_partitioning_invariant(spark):
     assert a == b
 
 
+def _ref_ppr(pairs, iters, scale, seed_set):
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    r = {v: (scale if v in seed_set else 0) for v in adj}
+    base = scale * 15 // 100
+    for _ in range(iters):
+        s = {v: 0 for v in adj}
+        for v, ns in adj.items():
+            c = r[v] // deg[v]
+            for n in ns:
+                s[n] += c
+        r = {
+            v: (base if v in seed_set else 0) + (85 * s[v]) // 100
+            for v in adj
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    seeds = spark.createDataFrame([(3,)], "seed long")
+    got = {
+        r.id: r.rank_fp
+        for r in pagerank(
+            _edges_df(spark, LOLLIPOP), iterations=6, seeds=seeds
+        ).collect()
+    }
+    want = _ref_ppr(LOLLIPOP, 6, 10**9, {3})
+    assert got == want
+    # mass concentrates near the seed: the seed outranks the far tail
+    assert got[3] > got[6]
+
+
 def test_pagerank_overflow_guard(spark):
     with pytest.raises(ValueError, match="overflows int64"):
         pagerank(_edges_df(spark, LOLLIPOP), iterations=1, scale=2**62)

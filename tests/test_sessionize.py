@@ -89,6 +89,18 @@ def test_funnel_strict_order_first_touch(spark):
     assert got == {"view": 4, "click": 1, "purchase": 1}
 
 
+def test_session_stats_single_exchange_plan(spark):
+    """The scale claim in the module docstring, plan-asserted: both
+    window functions AND the per-session aggregation ride ONE hash
+    exchange on user_id (the groupBy keys are a superset of the
+    window partition key)."""
+    ev = _events(spark, [(1, 0, 1, "view"), (2, 10, 1, "click")])
+    plan = (
+        session_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_funnel_repeated_attempts_use_first_touch(spark):
     # first-touch: the EARLIEST view anchors; a click before it does
     # not count, a later click does — even with an earlier failed pair
