@@ -142,3 +142,127 @@ def default_bpe() -> Optional[BPE]:
     if not path or not os.path.exists(path):
         return None
     return BPE(load_tiktoken_vocab(path))
+
+
+# ---------------------------------------------------------------------------
+# HF vocab.json + merges.txt loader (the second public BPE wire format)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1)
+def _bytes_to_unicode() -> Dict[int, str]:
+    """The GPT-2 byte<->printable-char bijection every HF byte-level
+    BPE file uses (space -> 'Ġ' etc.) — required to parse real
+    vocab.json/merges.txt: merges.txt is whitespace-delimited, so raw
+    bytes inside tokens would make the format ambiguous.  (The
+    reference's loader maps bytes with plain string(rune(b)),
+    llm/bpetokenizer.go:172-177, which cannot round-trip real GPT-2
+    files; treated like the P7 composite-key case — a reference bug
+    not reproduced.)"""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+class HFBPE:
+    """Byte-level BPE over the HF ``(vocab.json, merges.txt)`` pair —
+    the format the reference loads (llm/bpetokenizer.go:36-88).
+    Merging picks the lowest-rank adjacent PAIR from merges.txt (rank
+    = line order), the HF semantics; ids come from vocab.json.
+    """
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        merges: Dict[tuple, int],
+        pattern: re.Pattern = O200K_ISH_SPLIT,
+    ):
+        self.vocab = vocab
+        self.merges = merges
+        self.pattern = pattern
+        self.decoder = {i: t for t, i in vocab.items()}
+        b2u = _bytes_to_unicode()
+        self._b2u = b2u
+        self._u2b = {c: b for b, c in b2u.items()}
+
+    def _bpe_chunk(self, chunk: str) -> List[str]:
+        parts = [self._b2u[b] for b in chunk.encode("utf-8")]
+        while len(parts) > 1:
+            best = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = self.merges.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+                    best_i = i
+            if best is None:
+                break
+            parts[best_i:best_i + 2] = [
+                parts[best_i] + parts[best_i + 1]
+            ]
+        return parts
+
+    def encode(self, text: str) -> List[int]:
+        if not text:
+            return []
+        ids: List[int] = []
+        pos = 0
+        spans = []
+        for m in self.pattern.finditer(text):
+            if m.start() > pos:
+                spans.append(text[pos:m.start()])
+            spans.append(m.group())
+            pos = m.end()
+        if pos < len(text):
+            spans.append(text[pos:])
+        for chunk in spans:
+            for tok in self._bpe_chunk(chunk):
+                if tok not in self.vocab:
+                    raise KeyError(
+                        f"token not in vocab.json: {tok!r} "
+                        "(incomplete byte alphabet?)"
+                    )
+                ids.append(self.vocab[tok])
+        return ids
+
+    def decode(self, ids: List[int]) -> str:
+        u = "".join(self.decoder[i] for i in ids)
+        return bytes(self._u2b[c] for c in u).decode(
+            "utf-8", errors="replace"
+        )
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+def load_hf_bpe(vocab_path: str, merges_path: str) -> HFBPE:
+    """Load the public HF pair: ``vocab.json`` (token -> id) and
+    ``merges.txt`` (one ``left right`` pair per line, first line a
+    ``#version`` header, rank = order) — the exact files the
+    reference fetches per model (llm/bpetokenizer.go:196-201)."""
+    import json as _json
+
+    with open(vocab_path, encoding="utf-8") as fh:
+        vocab = _json.load(fh)
+    merges: Dict[tuple, int] = {}
+    with open(merges_path, encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    body = lines[1:] if lines and lines[0].startswith("#") else lines
+    rank = 0
+    for line in body:
+        line = line.strip()
+        if not line:
+            continue
+        left, right = line.split(" ")
+        merges[(left, right)] = rank
+        rank += 1
+    return HFBPE(vocab, merges)

@@ -50,6 +50,7 @@ __all__ = [
     "train_bpe",
     "train_bpe_from_corpus",
     "save_tiktoken",
+    "save_hf",
 ]
 
 
@@ -106,6 +107,7 @@ def train_bpe(
     word_counts: Iterable[Tuple[str, int]],
     n_merges: int,
     min_pair_count: int = 2,
+    merges_out: List[Tuple[bytes, bytes]] | None = None,
 ) -> Dict[bytes, int]:
     """Classic byte-level BPE training over a word-frequency table.
 
@@ -118,7 +120,9 @@ def train_bpe(
     so the loop is near-linear in practice on a Zipf table.
 
     Returns a tiktoken-style ``{token_bytes: rank}`` vocabulary that
-    :class:`kgforge.bpe.BPE` consumes directly.
+    :class:`kgforge.bpe.BPE` consumes directly.  Pass a list as
+    ``merges_out`` to also receive the merge PAIRS in training order
+    (what :func:`save_hf` needs for ``merges.txt``).
     """
     vocab: Dict[bytes, int] = {bytes([b]): b for b in range(256)}
     # words as mutable token lists + their corpus counts
@@ -138,6 +142,7 @@ def train_bpe(
             pair_counts[(a, b)] += counts[i]
             where[(a, b)].add(i)
 
+    merge_list = merges_out if merges_out is not None else []
     next_rank = 256
     for _ in range(n_merges):
         pair = _select_pair(pair_counts, min_pair_count)
@@ -145,6 +150,7 @@ def train_bpe(
             break
         merged = pair[0] + pair[1]
         vocab[merged] = next_rank
+        merge_list.append(pair)
         next_rank += 1
         # re-tokenize ONLY the words that contain the pair, keeping
         # the inverted index + pair counts in sync
@@ -223,3 +229,36 @@ def save_tiktoken(vocab: Dict[bytes, int], path: str) -> None:
     with open(path, "wb") as fh:
         for token, rank in sorted(vocab.items(), key=lambda kv: kv[1]):
             fh.write(base64.b64encode(token) + b" %d\n" % rank)
+
+
+def save_hf(
+    vocab: Dict[bytes, int],
+    merges: List[Tuple[bytes, bytes]],
+    vocab_path: str,
+    merges_path: str,
+) -> None:
+    """Write the public HF pair (``vocab.json`` + ``merges.txt``)
+    that :func:`kgforge.bpe.load_hf_bpe` — and the reference's
+    loader surface (llm/bpetokenizer.go:36-88) — consume.  Token
+    bytes are rendered through the standard GPT-2 byte<->unicode
+    bijection so merges.txt stays whitespace-unambiguous (real HF
+    files do the same; see kgforge.bpe._bytes_to_unicode)."""
+    import json as _json
+
+    from kgforge.bpe import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+
+    def render(tok: bytes) -> str:
+        return "".join(b2u[b] for b in tok)
+
+    with open(vocab_path, "w", encoding="utf-8") as fh:
+        _json.dump(
+            {render(t): r for t, r in vocab.items()},
+            fh,
+            ensure_ascii=False,
+        )
+    with open(merges_path, "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in merges:
+            fh.write(f"{render(a)} {render(b)}\n")

@@ -101,6 +101,34 @@ def test_tiktoken_save_load_roundtrip(tmp_path):
     assert load_tiktoken_vocab(path) == vocab
 
 
+def test_hf_export_load_roundtrip_and_parity(tmp_path):
+    """train -> save_hf -> load_hf_bpe: the HF-format path (the
+    reference's second BPE wire format, llm/bpetokenizer.go:36-88)
+    must tokenize identically to the tiktoken-rank path on the same
+    trained vocabulary, and decode losslessly — including tokens
+    containing spaces and multi-byte UTF-8 (the cases the GPT-2
+    byte<->unicode bijection exists for)."""
+    from kgforge.bpe import BPE, load_hf_bpe
+    from kgforge.bpetrain import save_hf
+
+    merges = []
+    vocab = train_bpe(WORDS, n_merges=30, merges_out=merges)
+    assert len(merges) == len(vocab) - 256
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    save_hf(vocab, merges, vp, mp)
+    hf = load_hf_bpe(vp, mp)
+    tik = BPE(vocab)
+    for text in (
+        "the banana there sparkles",
+        " spark sparkle spark",
+        "éclair éclair",
+        "aaaa aaaa zzz",
+        "",
+    ):
+        assert hf.encode(text) == tik.encode(text), text
+        assert hf.decode(hf.encode(text)) == text
+
+
 def test_trained_vocab_routes_through_tokenizer(tmp_path, monkeypatch):
     """End-to-end train -> save -> KGFORGE_BPE_PATH -> the shared
     tokenizer facade the chunkers use: integer ids, lossless decode,
