@@ -1,0 +1,109 @@
+"""Training-data analytics tour: the round-5 operator families on
+the harness tables, end to end and offline.
+
+Covers, in order:
+  1. BPE vocabulary training over the documents corpus
+     (kgforge.bpetrain) and Arrow-batched token counting with the
+     trained vocabulary.
+  2. kNN-graph construction over the embeddings table and the graph
+     analytics that run on it — PageRank, personalized PageRank,
+     triangle counts, components, link prediction (kgforge.graphops).
+  3. Gap-based sessionization + first-touch funnel over the events
+     table (kgforge.sessionize).
+
+Usage:
+    python examples/analytics.py [sf_dir]
+
+Defaults to the harness sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kgforge.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = build_session("kgforge-analytics", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    # -- 1. tokenizer training --------------------------------------
+    from kgforge.bpe import BPE
+    from kgforge.bpetrain import train_bpe_from_corpus
+
+    vocab = train_bpe_from_corpus(docs, n_merges=50)
+    print(f"trained BPE: {len(vocab) - 256} merges")
+    bcast = spark.sparkContext.broadcast(vocab)
+
+    def enc(batches):
+        import pandas as pd
+
+        bpe = BPE(bcast.value)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"n": [len(bpe.encode(t)) if t else 0 for t in pdf["text"]]}
+            )
+
+    total = (
+        docs.select("text")
+        .mapInPandas(enc, "n long")
+        .agg(F.sum("n"))
+        .head()[0]
+    )
+    print(f"corpus tokens under trained vocab: {total}")
+
+    # -- 2. graph analytics over the embedding kNN graph -------------
+    from kgforge.graphops import (
+        common_neighbor_scores,
+        knn_graph,
+        pagerank,
+        triangle_counts,
+    )
+    from kgforge.textops import connected_components
+
+    g = knn_graph(emb, k=3, n_planes=5, dim=64).persist()
+    print(f"kNN graph: {g.count()} edges")
+    pr = pagerank(g, iterations=5)
+    top = pr.orderBy(F.desc("rank_fp"), F.asc("id")).limit(3).collect()
+    print("top PageRank vertices:", [(r.id, r.rank_fp) for r in top])
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    ppr = pagerank(g, iterations=5, seeds=seeds)
+    near = ppr.orderBy(F.desc("rank_fp"), F.asc("id")).limit(3).collect()
+    print("nearest-to-seed (PPR):", [(r.id, r.rank_fp) for r in near])
+    tri = triangle_counts(g).agg(F.sum("n_triangles")).head()[0]
+    print(f"triangle memberships: {tri}")
+    comp = connected_components(g, id_a="src", id_b="dst")
+    print(f"components: {comp.select('cluster').distinct().count()}")
+    lp = common_neighbor_scores(g, top=3).collect()
+    print("link predictions:", [(r.a, r.b, r.cn) for r in lp])
+
+    # -- 3. sessionization + funnel ----------------------------------
+    from kgforge.sessionize import session_funnel, session_stats
+
+    stats = session_stats(events, gap_minutes=30)
+    n_sessions = stats.count()
+    longest = stats.agg(F.max("n_events")).head()[0]
+    print(f"sessions: {n_sessions} (longest has {longest} events)")
+    for r in session_funnel(
+        events, ["view", "click", "purchase"], 30
+    ).collect():
+        print(f"funnel step {r.step_idx} ({r.step}): {r.n_sessions}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
