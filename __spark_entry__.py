@@ -6,7 +6,11 @@ sf0.001.  ``queries()`` exposes one callable per implemented operator
 the DuckDB-equivalent SQL (kgforge/oracles.py) for EVERY entry —
 including the hash-heavy ones (simhash / vector LSH / multimodal fake
 decode / feature-hash retrieval), whose md5-derived semantics are
-reproduced in SQL via hex-digit arithmetic and embedded constants.
+reproduced in SQL via hex-digit arithmetic and embedded constants —
+except the two BPE-training rows, which are iterative/data-dependent
+(each merge depends on the table state after the previous one) and
+therefore rows-only by design, with bit-exactness pinned in pytest
+against an independent reference trainer instead.
 """
 
 from __future__ import annotations
