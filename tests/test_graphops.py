@@ -342,6 +342,40 @@ def test_knn_graph_partitioning_invariant(spark):
     assert a == b
 
 
+def test_knn_graph_max_bucket_excludes_hot_buckets(spark):
+    """Over-cap buckets drop out of candidate generation entirely;
+    other buckets' edges are unchanged."""
+    from kgforge.similarity import bucket_id_col
+
+    emb = _fake_embeddings(spark)
+    bucket = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            bucket_id_col(F.col("embedding"), 8, 3).alias("b"),
+        ).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(bucket.values())
+    cap = sorted(sizes.values())[len(sizes) // 2]  # median size
+    full = set(map(tuple, knn_graph(emb, 2, 3, dim=8).collect()))
+    capped = set(
+        map(
+            tuple,
+            knn_graph(emb, 2, 3, dim=8, max_bucket=cap).collect(),
+        )
+    )
+    assert capped < full
+    # every surviving edge lives in an under-cap bucket...
+    for src, dst, _ in capped:
+        assert sizes[bucket[src]] <= cap
+    # ...and every under-cap edge of the full graph survived
+    for src, dst, score in full:
+        if sizes[bucket[src]] <= cap:
+            assert (src, dst, score) in capped
+
+
 def test_knn_graph_respects_buckets(spark):
     """No edge may cross an LSH bucket boundary — candidates come
     from the bucket equi-join only (the linear scale shape)."""
