@@ -894,7 +894,16 @@ def q_knn_graph(spark, sf_dir):
     """kNN-graph construction: the undirected edge list itself.  The
     candidate generation is an LSH-bucket equi-join (no crossJoin in
     the plan) — the linear 10^12-vector shape; the oracle recomputes
-    the same buckets from the md5-seeded hyperplanes in SQL."""
+    the same buckets from the md5-seeded hyperplanes in SQL.
+
+    Why the graph family grades over THIS graph and not the entity
+    graph: the harness corpus's tiny vocabulary makes the KG
+    complete (276 = C(24,2) edges at sf0.01 — every analytic is a
+    constant there), while the kNN graph has real structure (degree
+    skew, triangles, 32 components).  The operators themselves are
+    generic over any (src, dst) frame including string entity ids —
+    pytest runs them on the actual KG edge output
+    (test_graph_family_on_string_id_kg_edges)."""
     return _knn_graph_edges(spark, sf_dir).select("src", "dst", "score")
 
 

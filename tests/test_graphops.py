@@ -342,6 +342,36 @@ def test_knn_graph_partitioning_invariant(spark):
     assert a == b
 
 
+def test_graph_family_on_string_id_kg_edges(spark):
+    """Type genericity: the whole family runs on STRING vertex ids —
+    exercised on the real KG edge operator's output shape (the
+    reference's entity graph), not just bigint vec_ids."""
+    edges = spark.createDataFrame(
+        [
+            ("SPARK", "TABLE"),
+            ("SPARK", "WINDOW"),
+            ("TABLE", "WINDOW"),
+            ("WINDOW", "ZORDER"),
+        ],
+        "src string, dst string",
+    )
+    pr = {r.id: r.rank_fp for r in pagerank(edges, iterations=4).collect()}
+    assert set(pr) == {"SPARK", "TABLE", "WINDOW", "ZORDER"}
+    assert pr["WINDOW"] > pr["ZORDER"]  # hub outranks the leaf
+    tri = {
+        r.id: r.n_triangles for r in triangle_counts(edges).collect()
+    }
+    assert tri == {"SPARK": 1, "TABLE": 1, "WINDOW": 1, "ZORDER": 0}
+    seeds = spark.createDataFrame([("ZORDER",)], "seed string")
+    dist = {r.id: r.dist for r in k_hop(edges, seeds, 2).collect()}
+    assert dist == {"ZORDER": 0, "WINDOW": 1, "SPARK": 2, "TABLE": 2}
+    lp = {
+        (r.a, r.b): r.cn
+        for r in common_neighbor_scores(edges).collect()
+    }
+    assert lp == {("SPARK", "ZORDER"): 1, ("TABLE", "ZORDER"): 1}
+
+
 def test_knn_graph_max_bucket_excludes_hot_buckets(spark):
     """Over-cap buckets drop out of candidate generation entirely;
     other buckets' edges are unchanged."""
