@@ -971,6 +971,20 @@ def q_graph_components(spark, sf_dir):
     )
 
 
+def q_graph_degree_hist(spark, sf_dir):
+    """Degree distribution of the kNN graph — the first diagnostic a
+    graph pipeline emits (skew detection feeds the cap knobs); two
+    partial-agg shuffles, all integers."""
+    g = _knn_graph_edges(spark, sf_dir)
+    deg = (
+        g.select(F.col("src").alias("v"))
+        .unionByName(g.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def q_graph_linkpred(spark, sf_dir):
     """Common-neighbor link prediction over the kNN graph: top-100
     non-adjacent pairs by shared-neighbor count, with neighborhood
@@ -1573,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_khop": q_graph_khop,
         "graph_components": q_graph_components,
+        "graph_degree_hist": q_graph_degree_hist,
         "graph_linkpred": q_graph_linkpred,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_feature_topk": q_multimodal_feature_topk,

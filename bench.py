@@ -170,6 +170,7 @@ def main() -> None:
         "graph_triangles",
         "graph_khop",
         "graph_components",
+        "graph_degree_hist",
         "graph_linkpred",
         "multimodal_decode",
         "multimodal_feature_topk",

@@ -1597,6 +1597,12 @@ SELECT id AS vec_id, CAST(MIN(dist) AS INTEGER) AS dist
 FROM walk GROUP BY id
 """
 
+    # Degree distribution of the kNN graph (deg CTE already counts
+    # both directions of each undirected edge).
+    q["graph_degree_hist"] = f"""WITH {knng_body}
+SELECT deg AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY deg
+"""
+
     # Weakly-connected components of the kNN graph — the embedding-
     # space cluster closure; same recursive-closure oracle shape as
     # dedup_clusters (every vertex appears in g, so no singleton
