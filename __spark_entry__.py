@@ -193,7 +193,10 @@ def q_kg_one_hop(spark, sf_dir):
     from kgforge.query import one_hop_edges
 
     e = _edges(spark, sf_dir)
-    seeds = spark.createDataFrame([("TABLE",)], "entity_id string")
+    # range+lit, not createDataFrame: a local-list frame materializes
+    # through defaultParallelism Python partitions (see the streaming
+    # sentinel note) — the seed never needs Python.
+    seeds = spark.range(1).select(F.lit("TABLE").alias("entity_id"))
     return one_hop_edges(seeds, e).select("src", "dst", "weight")
 
 
@@ -833,13 +836,20 @@ def q_bpe_train(spark, sf_dir):
     reference trainer (tests/test_bpetrain.py)."""
     import base64
 
+    import pandas as pd
+
     vocab = _bpe_vocab(spark, sf_dir)
     merges = sorted(
         (rank, base64.b64encode(tok).decode("ascii"))
         for tok, rank in vocab.items()
         if rank >= 256
     )
-    return spark.createDataFrame(merges, "rank int, token_b64 string")
+    # pandas + Arrow local relation: evaluated JVM-side, instead of a
+    # pickled-list RDD that round-trips one Python worker per core
+    return spark.createDataFrame(
+        pd.DataFrame(merges, columns=["rank", "token_b64"]),
+        "rank int, token_b64 string",
+    )
 
 
 def q_bpe_token_counts(spark, sf_dir):
@@ -926,7 +936,8 @@ def q_graph_ppr(spark, sf_dir):
     from kgforge.graphops import pagerank
 
     g = _knn_graph_edges(spark, sf_dir)
-    seeds = spark.createDataFrame([(0,), (1,)], "seed long")
+    # seeds {0, 1} as a JVM-native range — no Python partitions
+    seeds = spark.range(2).select(F.col("id").alias("seed"))
     return pagerank(g, iterations=10, seeds=seeds).select(
         F.col("id").alias("vec_id"), "rank_fp"
     )
@@ -1319,16 +1330,23 @@ def q_streaming_windowed_stats(spark, sf_dir):
 
     activate()
     for i, minutes in enumerate((1000, 2000)):
-        sentinel = spark.createDataFrame(
-            [("s", f"sentinel{i}.txt", "HEAD", "__sentinel", "x")],
-            "repo string, path string, commit string, lang string, "
-            "content string",
-        ).withColumn(
-            "event_time",
+        # JVM-native one-row frame (range + literals), NOT
+        # createDataFrame([...]): a local-list frame parallelizes into
+        # defaultParallelism pickled Python partitions, and writing it
+        # through coalesce(1) evaluates all of them SERIALLY in one
+        # task — ~0.11 s of Python-worker round-trip per core per
+        # write (3.9 s/sentinel at 32 cores, measured r6) for a row
+        # that never needed Python at all.
+        sentinel = spark.range(1).select(
+            F.lit("s").alias("repo"),
+            F.lit(f"sentinel{i}.txt").alias("path"),
+            F.lit("HEAD").alias("commit"),
+            F.lit("__sentinel").alias("lang"),
+            F.lit("x").alias("content"),
             F.expr(
                 f"timestamp'{base}' + make_interval(0, 0, 0, 0, 0, "
                 f"{minutes}, 0)"
-            ),
+            ).alias("event_time"),
         )
         sentinel.coalesce(1).write.mode("append").parquet(root + "/in")
         activate()

@@ -1,0 +1,77 @@
+"""Leg-subset benchmark with bench.py's exact methodology (noop sink,
+best-of-N repeats, per-repeat memo rollback) — for isolating single
+legs while optimizing without touching the frozen bench.py.
+
+Usage:  python bench_extra.py leg1,leg2,...   [repeats]
+
+Prints one JSON line {"queries": {...}, "value": total}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgforge.session import build_session  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    names = sys.argv[1].split(",")
+    leg_repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(
+        "kgforge-bench-extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # one warmup action so the first measured leg is not paying JVM/
+    # python-worker cold start (bench.py's cold pipeline leg plays
+    # that role in the full suite)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    for name in names:
+        best = None
+        for i in range(leg_repeats):
+            pre_keys = set(entrymod._MEMO.keys())
+            t0 = time.perf_counter()
+            materialize(qmap[name](spark, sf_dir))
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+            if i < leg_repeats - 1:
+                for k in list(entrymod._MEMO.keys()):
+                    if k not in pre_keys:
+                        _value, owned = entrymod._MEMO.pop(k)
+                        for fr in owned:
+                            try:
+                                fr.unpersist()
+                            except Exception:  # noqa: BLE001
+                                pass
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]}", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "queries": timings,
+        "value": round(sum(timings.values()), 3),
+        "sf": sf_dir,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()
