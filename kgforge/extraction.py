@@ -195,6 +195,86 @@ EXTRACTORS: dict[str, Callable[[], Callable[[str], dict]]] = {
 }
 
 
+def heuristic_extraction_col(content: Column) -> Column:
+    """The heuristic extractor as a pure JVM COLUMN EXPRESSION over
+    the chunk content — the zero-Python-boundary form of
+    :func:`heuristic_extract` (which is kept as the reference
+    implementation and for the generic JSON wire path).
+
+    Why this exists (r6 optimization): the heuristic's output is ~45x
+    the corpus size once serialized — 67 MB of extraction JSON for the
+    1.5 MB sf0.1 corpus — and the JSON wire path paid for it three
+    times (json.dumps in the Python worker, the Arrow transfer, and
+    the JVM-side from_json parse).  The extractor is SQL-expressible
+    BY DESIGN (the DuckDB oracles mirror it with the identical
+    string_split_regex(lower(text), '[^a-z]+') pipeline), so when the
+    configured extractor IS the heuristic the pipeline builds the
+    extraction struct with codegen'd expressions and ships nothing:
+    the content column crosses the Python boundary once, for chunking
+    only.  Pluggability is untouched — fixture/LLM extractors keep
+    the fused-UDF JSON wire (see pipeline.extract_exploded).
+
+    Semantics pinned equal to heuristic_extract():
+    - words: distinct lower-case [a-z]+ runs of length >=
+      HEURISTIC_MIN_WORD_LEN, sorted (codepoint order == binary
+      UTF8 order for pure a-z strings);
+    - entity type: FUNCTION/TYPE/VARIABLE by length mod 3;
+    - relationships: ordered pairs (i < j) over the first
+      HEURISTIC_MAX_PAIR_ENTITIES words.
+    """
+    words = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(content), "[^a-z]+"),
+                lambda w: (w != "")
+                & (F.length(w) >= HEURISTIC_MIN_WORD_LEN),
+            )
+        )
+    )
+    type_arr = F.array(*[F.lit(t) for t in _HEURISTIC_TYPES])
+    ents = F.transform(
+        words,
+        lambda w: F.struct(
+            F.upper(w).alias("entity_name"),
+            F.element_at(type_arr, (F.length(w) % 3) + 1).alias(
+                "entity_type"
+            ),
+            F.concat(F.lit("Entity "), F.upper(w)).alias(
+                "entity_description"
+            ),
+        ),
+    )
+    pw = F.slice(words, 1, HEURISTIC_MAX_PAIR_ENTITIES)
+    rels = F.flatten(
+        F.transform(
+            pw,
+            lambda a, i: F.transform(
+                # partner words strictly after position i (0-based):
+                # 1-based slice start i+2, capped by the pair window
+                F.slice(pw, i + 2, HEURISTIC_MAX_PAIR_ENTITIES),
+                lambda b: F.struct(
+                    F.upper(a).alias("source_entity"),
+                    F.upper(b).alias("target_entity"),
+                    F.concat(
+                        F.lit("Entities "),
+                        F.upper(a),
+                        F.lit(" and "),
+                        F.upper(b),
+                        F.lit(" co-occur"),
+                    ).alias("relationship_description"),
+                    F.array(F.lit("COOCCURS")).alias(
+                        "relationship_keywords"
+                    ),
+                    F.lit(1.0).alias("relationship_strength"),
+                ),
+            ),
+        )
+    )
+    return F.struct(
+        ents.alias("entities"), rels.alias("relationships")
+    )
+
+
 def make_extraction_udf(extractor_name: str = "heuristic"):
     """Arrow-batched extraction UDF: content -> llmResult JSON string.
 
@@ -319,8 +399,13 @@ def extraction_col(
 ) -> Column:
     """content -> typed extraction struct (entities, relationships).
 
-    JSON parsing happens JVM-side via from_json so downstream explode /
-    aggregation stays in whole-stage codegen.
+    The heuristic extractor is SQL-expressible and evaluates as pure
+    JVM expressions (no Python worker, no JSON wire — see
+    heuristic_extraction_col); opaque extractors run their UDF and
+    from_json the wire so downstream explode / aggregation stays in
+    whole-stage codegen either way.
     """
+    if extractor_name == "heuristic":
+        return heuristic_extraction_col(content)
     udf = make_extraction_udf(extractor_name)
     return F.from_json(udf(content), EXTRACTION_SCHEMA)

@@ -103,19 +103,40 @@ def extract_exploded(
 ) -> tuple[DataFrame, DataFrame]:
     """repos -> (exploded chunk+extraction rows, rejects).
 
-    ONE fused pandas UDF chunks AND extracts per document, so the
-    large content column crosses the JVM<->Python boundary once and
-    the plan has a single Python stage (see
-    extraction.make_chunk_extract_udf).  Persist the exploded frame:
-    chunks / entity mentions / relationship mentions all derive from
-    it with JVM-only operators (from_json + explode)."""
-    from kgforge.extraction import make_chunk_extract_udf
+    Two wire formats, picked by the configured extractor:
 
-    udf = make_chunk_extract_udf(
-        config.extractor,
-        config.chunk_max_tokens,
-        config.chunk_overlap_tokens,
-    )
+    - **heuristic** (the default): the UDF only CHUNKS — extraction
+      is a pure JVM column expression over the chunk content
+      (extraction.heuristic_extraction_col), so the content crosses
+      the JVM<->Python boundary once and the ~45x-the-corpus
+      extraction payload (67 MB of JSON at sf0.1) never exists: no
+      json.dumps in the worker, no Arrow transfer of it, no
+      from_json.  The ``extraction_json`` column carries NULL so the
+      frame shape is identical for both wires.
+    - **fixture / LLM extractors** (opaque Python): ONE fused pandas
+      UDF chunks AND extracts per document, returning the llmResult
+      JSON parsed later by from_json — the generic wire, unchanged.
+
+    Persist the parsed frame (see parse_extraction): chunks / entity
+    mentions / relationship mentions all derive from it with JVM-only
+    operators."""
+    sql_extraction = config.extractor == "heuristic"
+    if sql_extraction:
+        from kgforge.chunking import make_chunker_udf
+
+        udf = make_chunker_udf(
+            config.chunk_max_tokens, config.chunk_overlap_tokens
+        )
+        json_col = F.lit(None).cast("string")
+    else:
+        from kgforge.extraction import make_chunk_extract_udf
+
+        udf = make_chunk_extract_udf(
+            config.extractor,
+            config.chunk_max_tokens,
+            config.chunk_overlap_tokens,
+        )
+        json_col = F.col("chunk.extraction_json")
     base = (
         repos.withColumn("doc_id", doc_id_col())
         .withColumn("content_clean", clean_content(F.col("content")))
@@ -151,20 +172,31 @@ def extract_exploded(
             F.col("chunk.content").alias("content"),
             F.col("chunk.token_size").alias("token_size"),
             "content_sha",
-            F.col("chunk.extraction_json").alias("extraction_json"),
+            json_col.alias("extraction_json"),
         )
     )
+    if sql_extraction:
+        exploded = exploded.withColumn("_sql_extraction", F.lit(True))
     return exploded, rejects
 
 
 def parse_extraction(exploded: DataFrame) -> DataFrame:
-    """Parse the extraction JSON into the typed struct ONCE.  Persist
-    THIS frame (not the raw JSON one): every consumer — entity
-    mentions, relationship mentions, per-doc metric counts — then
-    explodes a cached struct instead of re-parsing ~KBs of JSON per
-    chunk per consumer."""
+    """Attach the typed extraction struct ONCE.  Persist THIS frame
+    (not the raw one): every consumer — entity mentions, relationship
+    mentions, per-doc metric counts — then explodes a cached struct.
+
+    SQL-expressible extractors (the ``_sql_extraction`` marker from
+    extract_exploded) build the struct with JVM expressions over the
+    chunk content; opaque extractors parse their JSON wire with
+    from_json, as before."""
     from kgforge.schemas import EXTRACTION_SCHEMA
 
+    if "_sql_extraction" in exploded.columns:
+        from kgforge.extraction import heuristic_extraction_col
+
+        return exploded.withColumn(
+            "extraction", heuristic_extraction_col(F.col("content"))
+        ).drop("extraction_json", "_sql_extraction")
     return exploded.withColumn(
         "extraction",
         F.from_json(F.col("extraction_json"), EXTRACTION_SCHEMA),
