@@ -626,7 +626,7 @@ def q_ann_recall(spark, sf_dir):
 
     k = 10
     emb = _emb(spark, sf_dir)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv, centroids = _emb_probe(spark, sf_dir)
     exact_ids = F.broadcast(
         brute_force_topk(emb, qv, k).select("id")
     )
@@ -634,10 +634,6 @@ def q_ann_recall(spark, sf_dir):
         emb.filter(F.col("vec_id") == 0), emb, k,
         n_planes=8, probe_hamming=1, dim=64,
     ).select(F.col("neighbor_id").alias("id"))
-    cent = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select(
-        "embedding"
-    ).collect()
-    centroids = [list(r[0]) for r in cent]
     ivf = ivf_topk(emb, qv, centroids, k, nprobe=2).select("id")
     int8 = int8_rescore_topk(emb, qv, k, rerank=12).select("id")
 
@@ -667,7 +663,7 @@ def q_embedding_topk(spark, sf_dir):
     from kgforge.similarity import brute_force_topk
 
     emb = _emb(spark, sf_dir)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv, _ = _emb_probe(spark, sf_dir)
     return brute_force_topk(emb, qv, 10)
 
 
@@ -704,7 +700,7 @@ def q_vector_lsh_topk(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv, _ = _emb_probe(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="kgforge-ann-") + "/embeddings"
     write_bucketed_embeddings(path, emb, dim=len(qv), n_planes=8)
     pre = spark.read.parquet(path)
@@ -730,11 +726,7 @@ def q_vector_ivf_topk(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select(
-        "embedding"
-    ).collect()
-    centroids = [list(r[0]) for r in cent]
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv, centroids = _emb_probe(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="kgforge-ivf-") + "/embeddings"
     write_ivf_embeddings(path, emb, centroids)
     pre = spark.read.parquet(path)
@@ -754,7 +746,7 @@ def q_vector_int8_topk(spark, sf_dir):
     from kgforge.similarity import int8_rescore_topk
 
     emb = _emb(spark, sf_dir)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv, _ = _emb_probe(spark, sf_dir)
     return int8_rescore_topk(emb, qv, 10, rerank=40)
 
 
@@ -771,6 +763,28 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup(
         _emb(spark, sf_dir), 0.4, 4, dim=64, max_bucket=None
     )
+
+
+def _emb_probe(spark, sf_dir):
+    """(query vector of vec_id 0, the 8 seeded IVF centroid vectors)
+    in ONE collect, memoized per (session, sf_dir): six ANN legs each
+    probed the embeddings table separately (a head() for the query
+    vector, a collect() for the codebook) — one tiny scan action per
+    leg of pure fixed cost.  Collecting rows, not frames: nothing to
+    persist, so the memo owns no frames."""
+
+    def build():
+        rows = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        centroids = [list(r[0]) for r in rows]
+        return (centroids[0], centroids), []
+
+    return _memo(spark, sf_dir, "emb_probe", build)
 
 
 def _events(spark, sf_dir):

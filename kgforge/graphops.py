@@ -355,20 +355,32 @@ def k_hop(
         .localCheckpoint()
     )
     frontier = dist.select("id")
-    with _small_graph_exec(edges.sparkSession, sym.count()):
+    with _small_graph_exec(edges.sparkSession, sym.count()) as small:
         for hop in range(1, k + 1):
+            # lazy checkpoint + count: the count computes (and
+            # thereby checkpoints) every partition in one job —
+            # replacing the eager-checkpoint + isEmpty action pair.
+            # (isEmpty on a lazy checkpoint would be wrong here: it
+            # short-circuits after one non-empty partition and would
+            # leave the frontier partially materialized.)
             nxt = (
                 frontier.join(sym, frontier.id == sym.u)
                 .select(F.col("v").alias("id"))
                 .distinct()
                 .join(dist.select("id"), "id", "left_anti")
                 .withColumn("dist", F.lit(hop))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            if nxt.isEmpty():
+            if nxt.count() == 0:
                 break
-            dist = dist.unionByName(nxt).localCheckpoint()
+            # lazy: next round's anti-join (or the caller's action)
+            # materializes it from already-checkpointed parents
+            dist = dist.unionByName(nxt).localCheckpoint(eager=False)
             frontier = nxt.select("id")
+        if small:
+            # materialize the accumulated union inside the scope so
+            # the caller's action is a scan of checkpointed blocks
+            dist = dist.localCheckpoint()
     return dist
 
 

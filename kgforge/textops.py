@@ -789,6 +789,12 @@ def connected_components(
                 .groupBy(F.col("src").alias("v"))
                 .agg(F.min("nlabel").alias("minn"))
             )
+            # LAZY checkpoint: the changed-count below computes every
+            # partition (a count over a filter), materializing the
+            # checkpoint blocks in the SAME job — one action per
+            # round instead of an eager-checkpoint job plus a count
+            # job.  (The initial edges/labels frames above stay eager:
+            # they must materialize while ``p`` is still cached.)
             nxt = (
                 labels.select("v", "label")
                 .join(msgs, "v", "left")
@@ -803,7 +809,7 @@ def connected_components(
                         < F.col("label")
                     ).alias("_changed"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             changed = nxt.filter(F.col("_changed")).count()
             labels = nxt
@@ -931,10 +937,13 @@ def connected_components_star(
         p.unpersist()
         converged = False
         for _ in range(max_iter):
+            # lazy checkpoint: the checksum aggregate shuffles every
+            # partition, materializing the blocks in the same job
+            # (one action per round, as in connected_components)
             nxt = (
                 small_star(large_star(edges))
                 .distinct()
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             cur_sum = checksum(nxt)
             # Checksum equality is the cheap per-round signal;
