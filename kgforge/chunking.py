@@ -166,9 +166,11 @@ def build_chunks(
     rejects = base.filter(F.col("chunk_arr").isNull()).select(
         "repo", "path", "commit", "lang", "doc_id", "content_sha"
     )
+    # no pre-explode isNotNull filter — redundant (posexplode_outer +
+    # the chunk-isNotNull filter below) and it duplicates the chunker
+    # UDF below the upstream exchange (see pipeline.extract_exploded)
     chunks = (
-        base.filter(F.col("chunk_arr").isNotNull())
-        .select(
+        base.select(
             "repo",
             "lang",
             "doc_id",

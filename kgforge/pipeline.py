@@ -151,9 +151,16 @@ def extract_exploded(
     rejects = base.filter(F.col("chunk_arr").isNull()).select(
         "repo", "path", "commit", "lang", "doc_id", "content_sha"
     )
+    # NO pre-explode chunk_arr-isNotNull filter: posexplode_outer
+    # turns a NULL (or empty) array into one null chunk row and the
+    # chunk-isNotNull filter below drops it, so the pre-filter was
+    # redundant — and harmful: a filter on a UDF-computed column gets
+    # pushed below the spread exchange and the optimizer then
+    # evaluates the chunker UDF TWICE, the first time as a SERIAL
+    # pass over the unspread single-split scan (two ArrowEvalPython
+    # nodes in the r6 before-plan, one of them 1-task).
     exploded = (
-        base.filter(F.col("chunk_arr").isNotNull())
-        .select(
+        base.select(
             "repo",
             "lang",
             "doc_id",
