@@ -350,12 +350,21 @@ def run_insert(
     )
     existing_ckpt = store.read("checkpoint")
     todo = ckpt.sha_gate(repos_ids, existing_ckpt)
-    # One deterministic pass over the pending docs; cache since the
-    # DAG fans out into chunks/entities/edges/metrics.
+    # Cache the pending frame: the DAG fans out into chunks/entities/
+    # edges/metrics.
     todo = todo.persist()
-    n_todo = todo.count()
-    # without a checkpoint the gate is a no-op: skip the second scan
-    n_total = repos_ids.count() if existing_ckpt is not None else n_todo
+    if existing_ckpt is not None:
+        # The gate's anti-join must run before we know the pending
+        # set; its count doubles as the cache-materializing action.
+        n_todo = todo.count()
+        n_total = repos_ids.count()
+    else:
+        # Fresh store: the gate is a no-op, so the pending set IS the
+        # corpus.  A column-pruned row count (no sha256, no content
+        # bytes) replaces the full materializing pass — the cache
+        # fills inside the first staging job instead, removing one
+        # whole corpus scan from the cold-start ingest.
+        n_todo = n_total = repos_ids.count()
     if n_todo == 0:
         todo.unpersist()
         return {
@@ -387,7 +396,7 @@ def run_insert(
     # of serializing after them — cores idle during a low-parallelism
     # phase pick up the other jobs' tasks (on a real cluster this is
     # standard concurrent-job-group scheduling).
-    staged = [store.stage_upsert("chunks", chunks, ["chunk_id"])]
+    staged = []
     # Rejects via anti-join of go docs vs produced chunks: avoids
     # re-running the chunker UDF lineage a second time just to find
     # the null rows.  (A parsed .go file always yields >= 1 chunk.)
@@ -460,13 +469,18 @@ def run_insert(
         if use_obs else ckpt_rows
     )
 
-    # Stage the remaining tables concurrently (the exploded cache is
-    # already materialized by the chunks staging above, so no thread
-    # recomputes the Python stage).  nodes/edges/rejects/checkpoint
-    # are mutually independent writes.
+    # Stage every table concurrently — chunks included: the threads
+    # race on the shared exploded/todo caches, but cached-partition
+    # computation is deduplicated by the block manager (per-block
+    # getOrElseUpdate locking: the first task computes, the rest
+    # block and read), so the Python chunker stage still runs exactly
+    # once while the disk-bound chunks write overlaps the merge
+    # shuffles instead of serializing before them.
     from concurrent.futures import ThreadPoolExecutor
 
     stage_jobs = [
+        ("chunks", lambda: store.stage_upsert(
+            "chunks", chunks, ["chunk_id"])),
         ("edges", lambda: store.stage_upsert(
             "edges", edges_w, ["src", "dst"])),
         ("nodes", lambda: store.stage_upsert(
