@@ -244,17 +244,26 @@ def pagerank(
     # costs one tiny aggregate per batch, not per round).
     checkpoint_every = 5
     last_ckpt = ranks
-    with _small_graph_exec(edges.sparkSession, n_nodes):
+    with _small_graph_exec(edges.sparkSession, n_nodes) as small:
+        # Inside the small-graph scope the rank/sum frames are tiny
+        # by construction (< threshold vertices), so hint them as
+        # broadcast sides: each round's two joins then run map-side
+        # (1 exchange per round — the groupBy — instead of ~5, since
+        # AQE is off in the scope and checkpointed frames carry no
+        # size stats, which otherwise forces sort-merge joins).  At
+        # scale the flag is False and the shapes are unchanged
+        # (vertex-sized frames must never be broadcast).
+        b = F.broadcast if small else (lambda df: df)
         done = 0
         while done < iterations:
             batch = min(checkpoint_every, iterations - done)
             for _ in range(batch):
-                contrib = sym_deg.join(ranks, "u").select(
+                contrib = sym_deg.join(b(ranks), "u").select(
                     F.col("v").alias("u"),
                     F.expr("rank div deg").alias("c"),
                 )
                 sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
-                ranks = bases.join(sums, "u", "left").select(
+                ranks = bases.join(b(sums), "u", "left").select(
                     "u",
                     (
                         F.col("_base")
@@ -368,6 +377,11 @@ def k_hop(
     )
     frontier = dist.select("id")
     with _small_graph_exec(edges.sparkSession, sym.count()) as small:
+        # Broadcast-hint the frontier and visited-set sides inside
+        # the small scope (AQE off + stats-less checkpoints would
+        # otherwise sort-merge every round); at scale the k-ball can
+        # be graph-sized, so the hint stays off.
+        b = F.broadcast if small else (lambda df: df)
         for hop in range(1, k + 1):
             # lazy checkpoint + count: the count computes (and
             # thereby checkpoints) every partition in one job —
@@ -376,10 +390,10 @@ def k_hop(
             # short-circuits after one non-empty partition and would
             # leave the frontier partially materialized.)
             nxt = (
-                frontier.join(sym, frontier.id == sym.u)
+                sym.join(b(frontier), sym.u == frontier.id)
                 .select(F.col("v").alias("id"))
                 .distinct()
-                .join(dist.select("id"), "id", "left_anti")
+                .join(b(dist.select("id")), "id", "left_anti")
                 .withColumn("dist", F.lit(hop))
                 .localCheckpoint(eager=False)
             )

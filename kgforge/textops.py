@@ -744,7 +744,14 @@ def connected_components(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).persist()
     n_pairs = p.count()
-    with _small_graph_exec(pairs.sparkSession, n_pairs):
+    with _small_graph_exec(pairs.sparkSession, n_pairs) as small:
+        # In the small scope the label/message frames are tiny, so
+        # broadcast-hint them: AQE is off and checkpointed frames
+        # carry no stats, which otherwise plans every per-round join
+        # as sort-merge (2 extra exchanges + sorts each).  At scale
+        # the flag is False — label frames are vertex-sized and must
+        # shuffle.
+        b = F.broadcast if small else (lambda df: df)
         # localCheckpoint (not persist) on the loop frames: each
         # round's plan references the previous round TWICE (once via
         # ``msgs``, once directly), so the un-truncated logical tree
@@ -780,9 +787,11 @@ def connected_components(
         for _ in range(max_iter):
             msgs = (
                 edges.join(
-                    labels.select(
-                        F.col("v").alias("dst"),
-                        F.col("label").alias("nlabel"),
+                    b(
+                        labels.select(
+                            F.col("v").alias("dst"),
+                            F.col("label").alias("nlabel"),
+                        )
                     ),
                     "dst",
                 )
@@ -797,7 +806,7 @@ def connected_components(
             # they must materialize while ``p`` is still cached.)
             nxt = (
                 labels.select("v", "label")
-                .join(msgs, "v", "left")
+                .join(b(msgs), "v", "left")
                 .select(
                     "v",
                     F.least(
@@ -872,7 +881,7 @@ def connected_components_star(
             "a", F.least("mb", "a").alias("m")
         )
         return (
-            sym.join(mins, "a")
+            sym.join(b(mins), "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
         )
@@ -884,7 +893,7 @@ def connected_components_star(
         )
         mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
         hang_nbrs = (
-            oriented.join(mins, "a")
+            oriented.join(b(mins), "a")
             .filter(F.col("b") != F.col("m"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
         )
@@ -912,7 +921,12 @@ def connected_components_star(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).persist()
     n_pairs = p.count()
-    with _small_graph_exec(pairs.sparkSession, n_pairs):
+    with _small_graph_exec(pairs.sparkSession, n_pairs) as small:
+        # Broadcast-hint the per-vertex min frames inside the small
+        # scope (see connected_components); `b` is captured by the
+        # star closures above at call time.  At scale mins is
+        # vertex-sized and the hint stays off.
+        b = F.broadcast if small else (lambda df: df)
         # localCheckpoint per round, as in connected_components: each
         # round references the previous edge frame several times
         # (large-star's mins join + small-star's), so the logical
