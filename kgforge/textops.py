@@ -160,38 +160,60 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+def _gram_array(ws, k: int):
+    """Distinct k-word grams of a BOUND word-array column, as one
+    per-row array expression — zero shuffle.  ``ws`` must be a
+    projected column (an attribute), not an inline ``words(text)``
+    expression: higher-order lambdas are interpreted and evaluate
+    every subtree they reference per element, so an inline split
+    would turn the scan into O(words^2) (the repetition_stats /
+    shingle_rows trap).  Docs with fewer than ``k`` words yield an
+    empty array."""
+    n = F.size(ws)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + j) for j in range(k)]
+    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_rows(
     docs: DataFrame, k: int = 3, id_col="doc_id", text_col="text"
 ) -> DataFrame:
     """Distinct k-word shingles as ROWS (doc, shingle).
 
-    Shape: explode words once (the text is split exactly once per
-    doc), then window ``lead`` assembles each k-gram — linear work.
-    The naive alternative (transform over an index sequence with
-    slice) re-evaluates the split per element because higher-order
-    lambdas are interpreted, turning a scan into O(words^2).
-    The window shuffle keys on doc id — uniform, skew-free."""
-    ex = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(_words(F.col(text_col))).alias("pos", "w"),
+    Shape: bind the word array as a projected column, build the
+    per-doc distinct gram array in one interpreted-lambda pass, and
+    explode.  The previous window-``lead`` form shuffled AND sorted
+    the whole exploded word stream by doc before assembling grams;
+    per-doc ``array_distinct`` makes that exchange unnecessary
+    (distinct-per-doc equals global distinct because the key includes
+    the doc).  The trailing ``.distinct()`` is then a no-op on the
+    VALUES but is kept deliberately as the one exchange in the
+    subplan: it is the ReuseExchange anchor that lets multi-branch
+    consumers (MinHash candidates + exact-Jaccard verify in
+    ``_dedup_pairs`` / ``incremental_near_dup``) execute the gram
+    computation once per plan instead of once per branch — removing
+    it was measured 4x SLOWER on those legs."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("_ws")
     )
-    win = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("w")] + [
-        F.lead("w", i).over(win) for i in range(1, k)
-    ]
-    sh = ex.select(
-        "doc",
-        F.when(
-            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
-        ).alias("shingle"),
-    ).filter(F.col("shingle").isNotNull())
-    return sh.distinct()
+    return base.select(
+        "doc", F.explode(_gram_array(F.col("_ws"), k)).alias("shingle")
+    ).distinct()
 
 
 def shingles(
     docs: DataFrame, k: int = 3, id_col="doc_id", text_col="text"
 ) -> DataFrame:
-    """k-word shingles per doc as a distinct array column."""
+    """k-word shingles per doc as a distinct array column, rebuilt
+    from :func:`shingle_rows` so the grouped re-assembly shares the
+    row form's distinct exchange (ReuseExchange) with sibling
+    branches."""
     return (
         shingle_rows(docs, k, id_col, text_col)
         .groupBy("doc")
