@@ -1346,47 +1346,44 @@ def winnow_fingerprints(
     MinHash for partial-copy detection.
 
     Set-based re-expression: the selected fingerprint SET equals the
-    distinct window minima, so one window-function min over the
-    ordered gram sequence replaces the sequential scan.  Docs with
+    distinct window minima, computed as ONE per-doc array expression
+    (bound word array -> gram-hash array -> sliding-window slice
+    minima) with zero shuffle — the previous form exchanged and
+    sorted the whole exploded word stream by doc for its windows and
+    paid a counts join on top.  Both intermediate arrays are BOUND as
+    projected columns before the lambdas that reference them
+    (interpreted higher-order lambdas re-evaluate referenced
+    subtrees per element — the repetition_stats trap).  Docs with
     fewer than w grams keep their global min hash (every non-empty
-    doc gets >= 1 fingerprint).  Shuffles key on doc id — uniform."""
-    ex = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(_words(F.col(text_col))).alias("pos", "wd"),
+    doc gets >= 1 fingerprint); the trailing distinct is the
+    subplan's ReuseExchange anchor for winnow_near_dup's sketch
+    branches."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), _words(F.col(text_col)).alias("_ws")
     )
-    owin = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("wd")] + [
-        F.lead("wd", i).over(owin) for i in range(1, k)
-    ]
-    grams = ex.select(
-        "doc",
-        "pos",
-        F.when(
-            parts[-1].isNotNull(),
-            F.md5(F.concat_ws(" ", *parts)),
-        ).alias("h"),
-    ).filter(F.col("h").isNotNull())
-    fwin = (
-        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    ws = F.col("_ws")
+    n = F.size(ws)
+    gram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)])
     )
-    wm = grams.select(
-        "doc",
-        F.min("h").over(fwin).alias("wmin"),
-        F.count("h").over(fwin).alias("n_in"),
+    gh_col = F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+    ).otherwise(F.array().cast("array<string>"))
+    ghb = base.select("doc", gh_col.alias("_gh"))
+    gh = F.col("_gh")
+    ng = F.size(gh)
+    wmins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), ng - (w - 1)),
+            lambda j: F.array_min(F.slice(gh, j, w)),
+        )
     )
-    counts = grams.groupBy("doc").agg(
-        F.count("*").alias("ng"), F.min("h").alias("minh")
+    fps = (
+        F.when(ng >= w, wmins)
+        .when(ng >= 1, F.array(F.array_min(gh)))
+        .otherwise(F.array().cast("array<string>"))
     )
-    full = (
-        wm.join(counts, "doc")
-        .filter((F.col("ng") >= w) & (F.col("n_in") == w))
-        .select("doc", F.col("wmin").alias("fp"))
-        .distinct()
-    )
-    short = counts.filter(F.col("ng") < w).select(
-        "doc", F.col("minh").alias("fp")
-    )
-    return full.unionByName(short)
+    return ghb.select("doc", F.explode(fps).alias("fp")).distinct()
 
 
 def winnow_near_dup(
