@@ -431,18 +431,26 @@ def write_bucketed_embeddings(
     (``bucket=K`` directories).  Query-time ANN then reads ONLY the
     query's bucket directory — partition pruning does the candidate
     selection, no full scan.  One shuffle on the bucket key with an
-    EXPLICIT partition count of 2^n_planes routes each bucket to one
-    task (bounded file counts, co-located).  The explicit count
-    matters: ``repartition(col)`` alone is AQE-coalescible, and at
-    index-build scale factors AQE folds the tiny shuffle into ONE
-    task that then opens/closes all 2^n_planes parquet writers
-    serially — measured 5.4 s vs 1.1 s for the same 256-directory
-    write on the r6 bench host."""
+    EXPLICIT partition count of min(2^n_planes, defaultParallelism):
+    on a cluster the min resolves to one co-located writer task per
+    bucket; on a small host it stops paying waves of sub-core-count
+    task commits (each partitionBy writer splits its rows by bucket
+    value, so the one-dir-per-bucket layout is identical either
+    way — measured ~1.4x faster at local[32] for the 256-directory
+    write).  The explicit count matters: ``repartition(col)`` alone
+    is AQE-coalescible, and at index-build scale factors AQE folds
+    the tiny shuffle into ONE task that then opens/closes all
+    2^n_planes parquet writers serially — measured 5.4 s vs 1.1 s for
+    the same 256-directory write on the r6 bench host."""
     df = embeddings.withColumn(
         "bucket", bucket_id_col(F.col(vec_col), dim, n_planes)
     )
+    n_writers = min(
+        2 ** n_planes,
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+    )
     (
-        df.repartition(2 ** n_planes, F.col("bucket"))
+        df.repartition(n_writers, F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
