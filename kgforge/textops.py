@@ -1450,17 +1450,23 @@ def repetition_stats(
     boilerplate / template / generated text that a training-data
     pipeline drops before dedup even runs.
 
-    Shape at 100 TB: ONE explode of a per-doc tall gram frame (all
-    three gram orders in one pass via flattened struct arrays — no
-    per-kind re-scan), then two partial-aggregated shuffles keyed on
-    (doc, kind, gram) and (doc, kind).  Pure JVM expressions; no UDF,
-    no window over the full corpus.
+    Shape at 100 TB: every statistic here is PER-DOCUMENT, so the
+    whole operator is one zero-shuffle projection — the gram array is
+    sorted per row and a single run-length fold (``F.aggregate``)
+    extracts the max run (= most frequent gram count) and the sum of
+    runs > 1 (= duplicated-gram instances).  The previous shape
+    exploded every gram instance and paid two corpus-wide exchanges
+    keyed on (doc, kind, gram) and (doc, kind) plus a docs left-join
+    — pure waste for per-doc statistics (partial aggregation already
+    reduced map-side; the shuffle moved per-doc results around the
+    cluster to group them by the key they were already grouped by).
 
-    The word array is BOUND as a projected column before the gram
-    lambdas reference it: higher-order lambdas are interpreted and
-    evaluate their own copy of every subtree they reference, so an
-    inline ``words(text)`` inside ``element_at`` would re-split the
-    whole document once per gram element per gram order (the exact
+    Both the word array and each per-kind result struct are BOUND as
+    projected columns before the lambdas/divisions that reference
+    them: higher-order lambdas are interpreted and evaluate their own
+    copy of every subtree they reference, so an inline
+    ``words(text)`` inside ``element_at`` would re-split the whole
+    document once per gram element per gram order (the exact
     O(words^2) trap shingle_rows documents) — measured 2.5x on this
     operator's graded leg.
     """
@@ -1470,70 +1476,84 @@ def repetition_stats(
     ws = F.col("_ws")
     n = F.size(ws)
 
-    def gram_structs(k: int):
-        idx = F.sequence(F.lit(1), n - (k - 1))
-        gram = lambda i: F.concat_ws(
+    def kind_struct(k: int):
+        gram = lambda i: F.concat_ws(  # noqa: E731
             " ", *[F.element_at(ws, i + j) for j in range(k)]
         )
-        return F.when(
-            n >= k,
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.lit(k).alias("k"), gram(i).alias("gram")
-                ),
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<k:int,gram:string>>")
+        arr = F.array_sort(
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+        )
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+            F.lit(0).cast("long").alias("dup"),
         )
 
-    tall = base.select(
-        "doc",
-        F.explode(
-            F.flatten(
-                F.array(gram_structs(1), gram_structs(2), gram_structs(3))
+        def merge(acc, x):
+            # equal grams are adjacent after the sort; close the run
+            # on every value change (prev is null only before the
+            # first element — eqNullSafe keeps that a "change")
+            same = acc["prev"].eqNullSafe(x)
+            closed_mx = F.greatest(acc["mx"], acc["run"])
+            closed_dup = acc["dup"] + F.when(
+                acc["run"] > 1, acc["run"]
+            ).otherwise(F.lit(0))
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when(same, acc["mx"]).otherwise(closed_mx).alias("mx"),
+                F.when(same, acc["dup"])
+                .otherwise(closed_dup)
+                .alias("dup"),
             )
-        ).alias("g"),
-    ).select("doc", F.col("g.k").alias("k"), F.col("g.gram").alias("gram"))
-    counts = tall.groupBy("doc", "k", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    per_kind = counts.groupBy("doc", "k").agg(
-        F.max("c").alias("mx"),
-        F.sum("c").alias("tot"),
-        F.coalesce(
-            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
-        ).alias("dup"),
-    )
-    stats = per_kind.groupBy("doc").agg(
-        F.max(F.when(F.col("k") == 1, F.col("tot"))).alias("n_words"),
-        F.max(
-            F.when(F.col("k") == 1, F.col("mx") / F.col("tot"))
-        ).alias("top_unigram_frac"),
-        F.max(
-            F.when(F.col("k") == 2, F.col("mx") / F.col("tot"))
-        ).alias("top_bigram_frac"),
-        F.max(
-            F.when(F.col("k") == 3, F.col("dup") / F.col("tot"))
-        ).alias("dup_trigram_frac"),
-    )
-    # docs too short for a gram order (or empty) still get a row
-    return (
-        docs.select(F.col(id_col).alias("doc"))
-        .join(stats, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.coalesce("top_unigram_frac", F.lit(0.0)).alias(
-                "top_unigram_frac"
-            ),
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias(
-                "top_bigram_frac"
-            ),
-            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias(
-                "dup_trigram_frac"
+
+        def finish(acc):
+            return F.struct(
+                F.greatest(acc["mx"], acc["run"]).alias("mx"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] > 1, acc["run"]).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("dup"),
+            )
+
+        folded = F.aggregate(arr, init, merge, finish)
+        tot = (n - (k - 1)).cast("long")
+        # NULL struct for docs too short for this gram order — the
+        # final coalesce turns it into the zero row the left-join
+        # form produced
+        return F.when(
+            n >= k,
+            F.struct(
+                folded["mx"].alias("mx"),
+                folded["dup"].alias("dup"),
+                tot.alias("tot"),
             ),
         )
+
+    bound = base.select(
+        "doc",
+        kind_struct(1).alias("_s1"),
+        kind_struct(2).alias("_s2"),
+        kind_struct(3).alias("_s3"),
+    )
+    c1, c2, c3 = F.col("_s1"), F.col("_s2"), F.col("_s3")
+    return bound.select(
+        "doc",
+        F.coalesce(c1["tot"], F.lit(0)).alias("n_words"),
+        F.coalesce(c1["mx"] / c1["tot"], F.lit(0.0)).alias(
+            "top_unigram_frac"
+        ),
+        F.coalesce(c2["mx"] / c2["tot"], F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        F.coalesce(c3["dup"] / c3["tot"], F.lit(0.0)).alias(
+            "dup_trigram_frac"
+        ),
     )
 
 
