@@ -641,3 +641,120 @@ def test_unigram_logperplexity_orders_gibberish_high(spark):
     assert out[100].nll_per_token > typical  # rare tokens score high
     assert out[101].n_tokens == 0 and out[101].nll_per_token == 0.0
     assert len(out) == 12  # every doc present (left join)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 optimization invariants: the per-doc fold rewrites
+# (simhash64, repetition_stats, shingle/winnow gram arrays) must stay
+# zero-shuffle and bit-equal to naive references.
+# ---------------------------------------------------------------------------
+
+
+def _edge_docs(spark):
+    rows = [
+        (0, "a b c a b c a b"),              # heavy repetition
+        (1, "one two three four five"),       # all distinct
+        (2, "tiny"),                          # < k words
+        (3, ""),                              # empty
+        (4, None),                            # null text
+        (5, "x x x x x x x x x x"),          # single repeated token
+        (6, "Héllo wörld héllo Wörld héllo"),  # unicode + case fold
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pywords(text):
+    import re
+
+    if text is None:
+        return []
+    # mirrors textops.WORD_SPLIT = "[^a-z]+" over the lowered text
+    return [w for w in re.split(r"[^a-z]+", text.lower()) if w != ""]
+
+
+def test_per_doc_fold_operators_plan_has_no_exchange(spark):
+    """simhash64 and repetition_stats are per-document statistics and
+    must plan as pure projections: any Exchange in their plan means a
+    corpus-wide shuffle crept back in (the round-6 regression these
+    rewrites removed)."""
+    docs = _edge_docs(spark)
+    for op in (textops.simhash64, textops.repetition_stats):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{op.__name__} shuffles: {plan}"
+
+
+def test_simhash_fold_matches_naive_reference(spark):
+    docs = _edge_docs(spark)
+    got = {r.doc: r.simhash for r in textops.simhash64(docs).collect()}
+    for doc_id, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        ws = _pywords(text)
+        sums = [0] * 60
+        for w in ws:
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                sums[i] += 1 if (h >> i) & 1 else -1
+        expect = sum(1 << i for i in range(60) if sums[i] > 0)
+        assert got[doc_id] == expect, (doc_id, text)
+
+
+def test_repetition_stats_matches_naive_counts(spark):
+    from collections import Counter
+
+    docs = _edge_docs(spark)
+    got = {r.doc: r for r in textops.repetition_stats(docs).collect()}
+    for doc_id, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        ws = _pywords(text)
+        row = got[doc_id]
+        assert row.n_words == len(ws)
+        for k, field in ((1, "top_unigram_frac"), (2, "top_bigram_frac")):
+            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+            expect = (
+                max(Counter(grams).values()) / len(grams) if grams else 0.0
+            )
+            assert getattr(row, field) == expect, (doc_id, k)
+        tri = Counter(
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+        )
+        expect_dup = (
+            sum(c for c in tri.values() if c > 1) / sum(tri.values())
+            if tri else 0.0
+        )
+        assert row.dup_trigram_frac == expect_dup, doc_id
+
+
+def test_shingle_rows_matches_naive_reference(spark):
+    docs = _edge_docs(spark)
+    got = {
+        (r.doc, r.shingle)
+        for r in textops.shingle_rows(docs, k=3).collect()
+    }
+    expect = set()
+    for doc_id, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        ws = _pywords(text)
+        for i in range(len(ws) - 2):
+            expect.add((doc_id, " ".join(ws[i:i + 3])))
+    assert got == expect
+
+
+def test_winnow_fingerprints_match_naive_reference(spark):
+    k, w = 3, 4
+    docs = _edge_docs(spark)
+    got = {
+        (r.doc, r.fp)
+        for r in textops.winnow_fingerprints(docs, k, w).collect()
+    }
+    expect = set()
+    for doc_id, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        ws = _pywords(text)
+        hs = [
+            hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()
+            for i in range(len(ws) - k + 1)
+        ]
+        if not hs:
+            continue
+        if len(hs) < w:
+            expect.add((doc_id, min(hs)))
+        else:
+            for j in range(len(hs) - w + 1):
+                expect.add((doc_id, min(hs[j:j + w])))
+    assert got == expect
